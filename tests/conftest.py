@@ -1,0 +1,23 @@
+"""Test harness config: force the CPU backend (8 virtual devices) so the
+multi-chip sharding paths are exercised without TPU hardware (mirrors the
+reference's cargo-test-only strategy, /root/reference/README.md:80-82, but
+adds the distributed axis the reference lacks)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["HALO_TPU_PLATFORM"] = "cpu"
+
+from halo_accumulation_tpu import runtime
+
+runtime.init()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
