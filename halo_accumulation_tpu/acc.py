@@ -1,0 +1,202 @@
+"""ASDL: accumulation scheme for PCDL (BCMS 2020), host-orchestrated.
+
+Functional mirror of /root/reference/code/src/acc.rs: common_subroutine
+(:135), prover (:190), verifier (:223), decider (:245), with the same
+Fiat-Shamir quirks:
+
+  * alpha = rho_1(AccumulatedHPolys) hashes the struct with alpha=None and
+    alphas=[] at hash time (acc.rs:147-173) - both fields are serialized
+    (as a 0x00 option tag and a 0-length vec) even though unset.
+  * z = rho_1(C, alpha) hashes alpha itself, not h(X) (acc.rs:181; the
+    report's spec says h - the code wins).
+
+Device work: succinct checks (via pcdl), the dense h(X) expansion (tensor
+product), and every MSM.  Host work: hashes, challenge arithmetic, the
+tiny (m+1)-point accumulated commitment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from halo_accumulation_tpu import fields as F
+from halo_accumulation_tpu import pcdl
+from halo_accumulation_tpu import pp as pp_mod
+from halo_accumulation_tpu.ops import poly as poly_mod
+from halo_accumulation_tpu.ops.field import FR
+from halo_accumulation_tpu.runtime import cached_jit
+from halo_accumulation_tpu.utils import serialize as ser
+from halo_accumulation_tpu.utils import transcript as tr
+
+
+@dataclass
+class Instance:
+    """q in the paper (acc.rs:21-28)."""
+
+    C: pcdl.Point
+    d: int
+    z: int
+    v: int
+    pi: pcdl.EvalProof
+
+    def serialize(self) -> bytes:
+        return (
+            ser.ser_point(self.C)
+            + ser.ser_u64(self.d)
+            + ser.ser_scalar(self.z)
+            + ser.ser_scalar(self.v)
+            + self.pi.serialize()
+        )
+
+
+@dataclass
+class AccumulatorHiding:
+    """pi_V = (h_0, U_0, omega) (acc.rs:54-59)."""
+
+    h: list  # degree-1 poly coefficients [b, a] as ints
+    U: pcdl.Point
+    w: int
+
+
+@dataclass
+class Accumulator:
+    """acc = ((C_bar, d, z, v), pi) + pi_V (acc.rs:43-51)."""
+
+    C_bar: pcdl.Point
+    d: int
+    z: int
+    v: int
+    pi: pcdl.EvalProof
+    pi_V: AccumulatorHiding
+
+    def to_instance(self) -> Instance:
+        """IVC chaining coercion (acc.rs:121-131)."""
+        return Instance(self.C_bar, self.d, self.z, self.v, self.pi)
+
+
+class AccumulatedHPolys:
+    """h_0 + sum alpha^(i+1) h_i bookkeeping (acc.rs:61-107)."""
+
+    def __init__(self, m: int):
+        self.h_0: list | None = None  # coefficients (ints)
+        self.hs: list[pcdl.HPoly] = []
+        self.alpha: int | None = None
+        self.alphas: list[int] = []
+        self._cap = m + 1
+
+    def set_alpha(self, alpha: int):
+        self.alpha = alpha
+        a, cur = [], 1
+        for _ in range(self._cap):
+            a.append(cur)
+            cur = cur * alpha % F.R
+        self.alphas = a
+
+    def serialize_for_alpha(self) -> bytes:
+        """Struct serialization at hash time: alpha=None, alphas=[]
+        (acc.rs:173 with state from :147-166)."""
+        out = ser.ser_option(ser.ser_poly(self.h_0) if self.h_0 is not None else None)
+        out += ser.ser_vec([h.serialize() for h in self.hs])
+        out += ser.ser_option(None)  # alpha
+        out += ser.ser_vec([])  # alphas
+        return out
+
+    def eval(self, z: int) -> int:
+        v = 0
+        if self.h_0 is not None:
+            zp, acc = 1, 0
+            for c in self.h_0:
+                acc = (acc + c * zp) % F.R
+                zp = zp * z % F.R
+            v = acc
+        for i, h in enumerate(self.hs):
+            v = (v + h.eval(z) * self.alphas[i + 1]) % F.R
+        return v
+
+    def coeffs_device(self, n: int):
+        """Dense coefficients of the combined polynomial, (16, n) device."""
+        import jax.numpy as jnp
+
+        acc = FR.from_ints(self.h_0 if self.h_0 is not None else [0])
+        if acc.shape[1] < n:
+            acc = jnp.concatenate([acc, FR.zeros((n - acc.shape[1],))], axis=1)
+        for i, h in enumerate(self.hs):
+            xis = FR.from_ints(h.xis)
+            al = FR.from_ints([self.alphas[i + 1]])[:, 0]
+            acc = cached_jit(_acc_h, len(h.xis), n)(acc, xis, al)
+        return acc
+
+
+def _acc_h(acc, xis, al):
+    hc = poly_mod.tensor_h_coeffs(xis)
+    return poly_mod.add(acc, poly_mod.scale(hc, al))
+
+
+def common_subroutine(
+    d: int, qs: list[Instance], pi_V: AccumulatorHiding, pp: pp_mod.PublicParams
+):
+    """T^rho(avk, qs, pi_V) (acc.rs:135-188).
+    Returns (C_bar, d, z, AccumulatedHPolys)."""
+    m = len(qs)
+    hs = AccumulatedHPolys(m)
+    Us: list[pcdl.Point] = []
+
+    hs.h_0 = list(pi_V.h)
+    Us.append(pi_V.U)
+
+    # U_0 must be a deterministic commitment to h_0 (acc.rs:152-155);
+    # h_0 is degree 1, so the padded commit reduces to a 2-point MSM.
+    if pcdl.commit(list(pi_V.h), d, None, pp) != pi_V.U:
+        raise ValueError("U_0 != PCDL.Commit(h_0)")
+
+    for q in qs:
+        h_i, U_i = pcdl.succinct_check(q.C, q.d, q.z, q.v, q.pi, pp)
+        hs.hs.append(h_i)
+        Us.append(U_i)
+        if q.d != d:
+            raise ValueError("d_i != d")
+
+    hs.set_alpha(tr.rho_1(hs.serialize_for_alpha()))
+
+    # C := <alphas, Us>  ((m+1)-point MSM, tiny -> host oracle)
+    C = pcdl.host_msm(hs.alphas[: m + 1], Us)
+
+    z = tr.rho_1(ser.ser_point(C), ser.ser_scalar(hs.alpha))
+
+    C_bar = F.p_add(C, F.p_mul(pi_V.w, pp.s))
+    return C_bar, d, z, hs
+
+
+def prover(
+    rng: np.random.Generator, d: int, qs: list[Instance], pp: pp_mod.PublicParams
+) -> Accumulator:
+    """Accumulation prover (acc.rs:190-220)."""
+    h_0 = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(2)]
+    U_0 = pcdl.commit(h_0, d, None, pp)
+    w = int.from_bytes(rng.bytes(40), "little") % F.R
+    pi_V = AccumulatorHiding(h=h_0, U=U_0, w=w)
+
+    C_bar, d, z, hs = common_subroutine(d, qs, pi_V, pp)
+    v = hs.eval(z)
+    pi = pcdl.open_(rng, hs.coeffs_device(d + 1), C_bar, d, z, w, pp)
+    return Accumulator(C_bar=C_bar, d=d, z=z, v=v, pi=pi, pi_V=pi_V)
+
+
+def verifier(D: int, qs: list[Instance], acc: Accumulator, pp: pp_mod.PublicParams):
+    """Accumulation verifier (acc.rs:223-243).  Raises on reject."""
+    C_bar_p, d_p, z_p, hs = common_subroutine(D, qs, acc.pi_V, pp)
+    if C_bar_p != acc.C_bar:
+        raise ValueError("C_bar' != C_bar")
+    if z_p != acc.z:
+        raise ValueError("z' != z")
+    if d_p != acc.d:
+        raise ValueError("d' != d")
+    if hs.eval(acc.z) != acc.v:
+        raise ValueError("h(z) != v")
+
+
+def decider(acc: Accumulator, pp: pp_mod.PublicParams):
+    """Decider (acc.rs:245-255): one full PCDL check validates the chain."""
+    pcdl.check(acc.C_bar, acc.d, acc.z, acc.v, acc.pi, pp)

@@ -1,0 +1,168 @@
+"""Public parameters (URS): hash-derived generators S, H, G_0..G_{N-1}.
+
+Mirrors the reference's untrusted setup exactly
+(/root/reference/code/src/main.rs:18-45):
+
+    gen(i) = Fr::from_le_bytes_mod_order(
+                 SHA3-256(b"To understand recursion, ..." || i as u64 LE))
+             * G
+    S = gen(0), H = gen(1), G_i = gen(i + 2)
+
+but instead of baking 16384 points into source at compile time
+(consts.rs:23-24 caps D at 16383 - called out as a limitation in
+report.md:2081-2086), parameters are generated at setup time on device and
+cached, lifting the max degree to 2^22+.
+
+Device generation: scalars are hashed on host; the fixed-base scalar
+multiplications run on the TPU via 8-bit windowed tables
+(32 tables x 256 multiples of 2^(8w) G, built host-side in milliseconds),
+so setup is 31 vectorized complete-adds per point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo_accumulation_tpu import fields as F
+from halo_accumulation_tpu.ops import curve as cv
+from halo_accumulation_tpu.ops.field import FQ, FR, L, int_to_limbs
+from halo_accumulation_tpu.runtime import cached_jit
+
+GENESIS = b"To understand recursion, one must first understand recursion"
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+CACHE_DIR = pathlib.Path(os.environ.get("HALO_TPU_URS_CACHE", str(_REPO_ROOT / ".urs_cache")))
+
+_WINDOW = 8
+_NWIN = 32  # 256 bits / 8
+
+
+def gen_scalar(i: int) -> int:
+    """Fr scalar for generator i (main.rs:18-32)."""
+    h = hashlib.sha3_256()
+    h.update(GENESIS)
+    h.update(i.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little") % F.R
+
+
+def _window_tables() -> cv.PointVec:
+    """(32, 256) projective table: T[w][j] = j * 2^(8w) * G, on device."""
+    xs = np.zeros((L, _NWIN, 256), np.uint32)
+    ys = np.zeros((L, _NWIN, 256), np.uint32)
+    zs = np.zeros((L, _NWIN, 256), np.uint32)
+    ys[0, :, 0] = 1  # identity (0,1,0) at j=0
+    base = (F.G_X, F.G_Y)
+    for w in range(_NWIN):
+        acc = None
+        for j in range(1, 256):
+            acc = F.p_add(acc, base)
+            xs[:, w, j] = int_to_limbs(acc[0])
+            ys[:, w, j] = int_to_limbs(acc[1])
+            zs[0, w, j] = 1
+        for _ in range(8):
+            base = F.p_add(base, base)
+    return cv.PointVec(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
+
+
+def _fixed_base_mul_batch(tables: cv.PointVec, digits) -> cv.PointVec:
+    """digits (32, N) uint8-range -> sum_w T[w][digit_w] per column."""
+    idx = digits[None].astype(jnp.int32)  # (1, 32, N)
+    gx = jnp.take_along_axis(tables.x, idx, axis=2)
+    gy = jnp.take_along_axis(tables.y, idx, axis=2)
+    gz = jnp.take_along_axis(tables.z, idx, axis=2)
+    return cv.sum_points(cv.PointVec(gx, gy, gz), axis=0)
+
+
+class PublicParams:
+    """Device-resident URS.
+
+    gs: affine G vector as (x_limbs (L,N), y_limbs (L,N)) canonical - no
+    infinities can occur (hash scalars are nonzero w.o.p., checked).
+    s, h: host affine int pairs (used in transcripts and small host math).
+    """
+
+    def __init__(self, n: int, gs_x, gs_y, s, h):
+        self.n = n
+        self.d = n - 1
+        self.gs_x = gs_x
+        self.gs_y = gs_y
+        self.s = s
+        self.h = h
+        self._gs_host = None
+
+    def gs_points(self, n: int) -> cv.PointVec:
+        """First n generators as a projective PointVec (Z=1)."""
+        one = FQ.from_int(1, (n,))
+        return cv.PointVec(self.gs_x[:, :n], self.gs_y[:, :n], one)
+
+    def gs_host(self) -> list:
+        """Host affine int pairs (cached)."""
+        if self._gs_host is None:
+            xs = FQ.to_ints(self.gs_x)
+            ys = FQ.to_ints(self.gs_y)
+            self._gs_host = [(int(x), int(y)) for x, y in zip(xs, ys)]
+        return self._gs_host
+
+
+_pp_cache: dict[int, PublicParams] = {}
+
+
+def get_pp(n: int, use_disk_cache: bool = True) -> PublicParams:
+    """Get (generate or load) the URS for n generators (n = max d + 1)."""
+    assert n & (n - 1) == 0, "URS size must be a power of two"
+    if n in _pp_cache:
+        return _pp_cache[n]
+    path = CACHE_DIR / f"urs_{n}.npz"
+    if use_disk_cache and path.exists():
+        z = np.load(path)
+        pp = PublicParams(
+            n,
+            jnp.asarray(z["gs_x"]),
+            jnp.asarray(z["gs_y"]),
+            (int(z["s_x"]), int(z["s_y"])),
+            (int(z["h_x"]), int(z["h_y"])),
+        )
+        _pp_cache[n] = pp
+        return pp
+
+    tables = _window_tables()
+    scalars = [gen_scalar(i) for i in range(n + 2)]
+    # digit matrix (32, n+2)
+    dig = np.zeros((_NWIN, n + 2), np.uint32)
+    for j, s in enumerate(scalars):
+        for w in range(_NWIN):
+            dig[w, j] = (s >> (8 * w)) & 0xFF
+    fb = cached_jit(_fixed_base_mul_batch)
+    # chunk to bound memory at large n
+    chunk = 1 << 15
+    outs = []
+    for lo in range(0, n + 2, chunk):
+        d = jnp.asarray(dig[:, lo : lo + chunk])
+        outs.append(fb(tables, d))
+    P = cv.PointVec(*(jnp.concatenate([o[i] for o in outs], axis=1) for i in range(3)))
+    x, y, inf = cached_jit(cv.to_affine)(P)
+    assert not bool(np.asarray(inf).any()), "URS generator hashed to identity"
+    xs = x
+    ys = y
+    s_pt = (int(FQ.to_ints(xs[:, 0])), int(FQ.to_ints(ys[:, 0])))
+    h_pt = (int(FQ.to_ints(xs[:, 1])), int(FQ.to_ints(ys[:, 1])))
+    pp = PublicParams(n, xs[:, 2:], ys[:, 2:], s_pt, h_pt)
+    if use_disk_cache:
+        CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            gs_x=np.asarray(pp.gs_x),
+            gs_y=np.asarray(pp.gs_y),
+            s_x=str(s_pt[0]),
+            s_y=str(s_pt[1]),
+            h_x=str(h_pt[0]),
+            h_y=str(h_pt[1]),
+        )
+    _pp_cache[n] = pp
+    return pp

@@ -4,11 +4,14 @@ The Fiat-Shamir transcript hashes ark-serialize `serialize_compressed`
 bytes (/root/reference/code/src/group.rs:49,74), so byte layouts here must
 match arkworks 0.5 exactly:
 
-  * Fp/Fr: 32-byte little-endian canonical integer.
-  * Affine short-Weierstrass point, compressed: the x-coordinate's 32 LE
-    bytes with 2 flag bits OR-ed into the MOST significant bits of the
-    final byte: bit6 = point-at-infinity (x serialized as 0), bit7 = y is
-    "negative" (y > p - y, i.e. the lexicographically larger root).
+  * Fp/Fr: 32-byte little-endian canonical integer
+    (buffer_byte_size(255) = 32).
+  * Affine short-Weierstrass point, compressed: x serialized with 2 flag
+    bits.  The Pasta moduli are 255-bit, so ark-ff's
+    buffer_byte_size(MODULUS_BIT_SIZE + 2) = ceil(257/8) = 33 bytes: the
+    x-coordinate's 32 LE bytes followed by one extra byte whose top bits
+    carry the flags: bit6 = point-at-infinity (x serialized as 0), bit7 =
+    y is "negative" (y > p - y, the lexicographically larger root).
     (arkworks SWFlags: YIsPositive=0, PointAtInfinity=1<<6, YIsNegative=1<<7.)
   * Projective points serialize via their affine form.
   * Vec<T>: u64 LE length prefix + elements.
@@ -41,26 +44,29 @@ def ser_base(v: int) -> bytes:
     return (v % fields.Q).to_bytes(32, "little")
 
 
+POINT_BYTES = 33  # buffer_byte_size(255 + 2 flag bits)
+
+
 def ser_point(P) -> bytes:
-    """Compressed affine point; P is None (infinity) or (x, y) ints."""
+    """Compressed affine point (33 bytes); P is None (infinity) or (x, y)."""
     if P is None:
-        b = bytearray(32)
-        b[31] |= SW_INFINITY
+        b = bytearray(POINT_BYTES)
+        b[32] |= SW_INFINITY
         return bytes(b)
     x, y = P[0] % fields.Q, P[1] % fields.Q
-    b = bytearray(x.to_bytes(32, "little"))
+    b = bytearray(x.to_bytes(POINT_BYTES, "little"))
     if y > fields.Q - y:  # y "negative": larger of {y, -y}
-        b[31] |= SW_Y_NEG
+        b[32] |= SW_Y_NEG
     return bytes(b)
 
 
 def deser_point(b: bytes):
     """Inverse of ser_point. Returns None or (x, y)."""
-    assert len(b) == 32
-    flags = b[31] & 0xC0
+    assert len(b) == POINT_BYTES
+    flags = b[32] & 0xC0
     if flags & SW_INFINITY:
         return None
-    x = int.from_bytes(bytes(b[:31]) + bytes([b[31] & 0x3F]), "little")
+    x = int.from_bytes(bytes(b[:32]) + bytes([b[32] & 0x3F]), "little")
     rhs = (pow(x, 3, fields.Q) + fields.B_COEFF) % fields.Q
     y = fields.sqrt_mod(rhs, fields.Q)
     if y is None:
