@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from halo_accumulation_tpu import fields as F
+from halo_accumulation_tpu import hostops as H
 from halo_accumulation_tpu import pcdl
 from halo_accumulation_tpu import pp as pp_mod
 from halo_accumulation_tpu.ops import poly as poly_mod
@@ -165,7 +166,7 @@ def common_subroutine(
 
     z = tr.rho_1(ser.ser_point(C), ser.ser_scalar(hs.alpha))
 
-    C_bar = F.p_add(C, F.p_mul(pi_V.w, pp.s))
+    C_bar = H.p_add(C, H.p_mul(pi_V.w, pp.s))
     return C_bar, d, z, hs
 
 
@@ -200,3 +201,71 @@ def verifier(D: int, qs: list[Instance], acc: Accumulator, pp: pp_mod.PublicPara
 def decider(acc: Accumulator, pp: pp_mod.PublicParams):
     """Decider (acc.rs:245-255): one full PCDL check validates the chain."""
     pcdl.check(acc.C_bar, acc.d, acc.z, acc.v, acc.pi, pp)
+
+
+def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp: pp_mod.PublicParams):
+    """Batched equivalent of running the verifier at every chain step plus
+    one final decider - the reference's "fast path" benchmark semantics
+    (acc_compare_fast_helper, /root/reference/code/benches/acc.rs:64-74),
+    restructured TPU-natively:
+
+      * every succinct check of every step runs in ONE batched device MSM,
+      * every U_0-commitment check likewise batches into one msm_rows call,
+      * per-step challenge/bookkeeping math stays on the host (tiny),
+      * the single final decider does the deferred n-point MSM.
+
+    Raises ValueError on any rejection.
+    """
+    assert len(qss) == len(accs)
+    # ---- 1. batch all succinct checks across all steps -------------------
+    flat = []
+    step_slices = []
+    for qs in qss:
+        step_slices.append((len(flat), len(flat) + len(qs)))
+        flat.extend((q.C, q.d, q.z, q.v, q.pi) for q in qs)
+    results = pcdl.succinct_check_batch(flat, pp)
+
+    # ---- 2. batch all U_0 = commit(h_0) checks ---------------------------
+    g0, g1 = pp.gs_host()[0], pp.gs_host()[1]
+    import numpy as _np
+
+    B = len(accs)
+    pts_rows, scs_rows = [], []
+    for acc in accs:
+        pts_rows.append([g0, g1, acc.pi_V.U])
+        scs_rows.append([acc.pi_V.h[0], acc.pi_V.h[1], F.R - 1])
+    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
+    from halo_accumulation_tpu.ops.field import L as _L
+
+    P = cv.from_affine_ints([p for row in pts_rows for p in row])
+    P = cv.PointVec(*(a.reshape(_L, B, 3) for a in P))
+    s = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, B, 3)
+    ok = _np.asarray(cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(P, s))
+    for b in range(B):
+        if not ok[b]:
+            raise ValueError(f"U_0 != PCDL.Commit(h_0) at step {b}")
+
+    # ---- 3. per-step host bookkeeping (challenges + equality checks) -----
+    for k, (qs, acc) in enumerate(zip(qss, accs)):
+        lo, hi = step_slices[k]
+        hs = AccumulatedHPolys(len(qs))
+        hs.h_0 = list(acc.pi_V.h)
+        Us = [acc.pi_V.U]
+        for (h_i, U_i), q in zip(results[lo:hi], qs):
+            hs.hs.append(h_i)
+            Us.append(U_i)
+            if q.d != D:
+                raise ValueError(f"d_i != d at step {k}")
+        hs.set_alpha(tr.rho_1(hs.serialize_for_alpha()))
+        C = pcdl.host_msm(hs.alphas[: len(qs) + 1], Us)
+        z = tr.rho_1(ser.ser_point(C), ser.ser_scalar(hs.alpha))
+        C_bar = H.p_add(C, H.p_mul(acc.pi_V.w, pp.s))
+        if C_bar != acc.C_bar:
+            raise ValueError(f"C_bar' != C_bar at step {k}")
+        if z != acc.z:
+            raise ValueError(f"z' != z at step {k}")
+        if hs.eval(acc.z) != acc.v:
+            raise ValueError(f"h(z) != v at step {k}")
+
+    # ---- 4. one final decider --------------------------------------------
+    decider(accs[-1], pp)

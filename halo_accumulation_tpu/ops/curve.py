@@ -56,99 +56,90 @@ def from_affine_ints(points) -> PointVec:
     return PointVec(FQ.from_ints(xs), FQ.from_ints(ys), FQ.from_ints(zs))
 
 
+def _stk(*xs):
+    return jnp.stack(xs, axis=1)  # (L, k, *batch)
+
+
+def _unstk(a, k):
+    return [a[:, i] for i in range(k)]
+
+
 def padd(P: PointVec, Q: PointVec) -> PointVec:
     """Complete projective addition, RCB16 algorithm 7 (a=0), 12M + 2m(b3).
 
     Mirrors the semantics of arkworks' `Projective + Projective` used all
-    over /root/reference/code/src/pcdl.rs (e.g. :218, :291-298)."""
+    over /root/reference/code/src/pcdl.rs (e.g. :218, :291-298).
+
+    The field muls are grouped into two stacked mul calls (and the
+    adds/subs likewise): HLO graph size is per-call, not per-limb-op, so
+    this keeps kernels that inline many point adds compilable."""
     f = FQ
     x1, y1, z1 = P
     x2, y2, z2 = Q
-    t0 = f.mul(x1, x2)
-    t1 = f.mul(y1, y2)
-    t2 = f.mul(z1, z2)
-    t3 = f.mul(f.add(x1, y1), f.add(x2, y2))
-    t4 = f.add(t0, t1)
-    t3 = f.sub(t3, t4)  # x1y2 + x2y1
-    t4 = f.mul(f.add(y1, z1), f.add(y2, z2))
-    x3 = f.add(t1, t2)
-    t4 = f.sub(t4, x3)  # y1z2 + y2z1
-    x3 = f.mul(f.add(x1, z1), f.add(x2, z2))
-    y3 = f.add(t0, t2)
-    y3 = f.sub(x3, y3)  # x1z2 + x2z1
-    x3 = f.add(t0, t0)
-    t0 = f.add(x3, t0)  # 3 x1x2
-    t2 = f.mul_small(t2, B3)  # b3 z1z2
-    z3 = f.add(t1, t2)
-    t1 = f.sub(t1, t2)
-    y3 = f.mul_small(y3, B3)  # b3 (x1z2 + x2z1)
-    x3 = f.mul(t4, y3)
-    t2 = f.mul(t3, t1)
-    x3 = f.sub(t2, x3)
-    y3 = f.mul(y3, t0)
-    t1 = f.mul(t1, z3)
-    y3 = f.add(t1, y3)
-    t0 = f.mul(t0, t3)
-    z3 = f.mul(z3, t4)
-    z3 = f.add(z3, t0)
-    return PointVec(x3, y3, z3)
+    s1, s2, s3 = _unstk(f.add(_stk(x1, y1, x1), _stk(y1, z1, z1)), 3)
+    s4, s5, s6 = _unstk(f.add(_stk(x2, y2, x2), _stk(y2, z2, z2)), 3)
+    # batched muls: t0=x1x2, t1=y1y2, t2=z1z2, m3..m5 the cross terms
+    t0, t1, t2, m3, m4, m5 = _unstk(f.mul(_stk(x1, y1, z1, s1, s2, s3), _stk(x2, y2, z2, s4, s5, s6)), 6)
+    # t3 = m3-t0-t1 (x1y2+x2y1), t4 = m4-t1-t2 (y1z2+y2z1), w = m5-t0-t2
+    sums = f.add(_stk(t0, t1, t0), _stk(t1, t2, t2))
+    t3, t4, w = _unstk(f.sub(_stk(m3, m4, m5), sums), 3)
+    t2b, wb = _unstk(f.mul_small(_stk(t2, w), B3), 2)  # b3 z1z2, b3 w
+    t0x = f.add(t0, t0)
+    t0b = f.add(t0x, t0)  # 3 x1x2
+    z3s = f.add(t1, t2b)
+    t1b = f.sub(t1, t2b)
+    # second mul wave
+    x3a, t2c, y3a, t1c, t0c, z3c = _unstk(
+        f.mul(_stk(t4, t3, wb, t1b, t0b, z3s), _stk(wb, t1b, t0b, z3s, t3, t4)), 6
+    )
+    r1, r2 = _unstk(f.add(_stk(t1c, z3c), _stk(y3a, t0c)), 2)
+    x3 = f.sub(t2c, x3a)
+    return PointVec(x3, r1, r2)
 
 
 def padd_mixed(P: PointVec, qx, qy, q_inf=None) -> PointVec:
     """Complete mixed addition P + (qx, qy, 1), RCB16 algorithm 8 (a=0),
-    11M + 2m(b3).  If q_inf (bool mask over batch) is given, those lanes
-    return P unchanged (affine points cannot encode the identity)."""
+    11M + 2m(b3), muls grouped into two stacked calls.  If q_inf (bool mask
+    over batch) is given, those lanes return P unchanged (affine points
+    cannot encode the identity)."""
     f = FQ
     x1, y1, z1 = P
-    t0 = f.mul(x1, qx)
-    t1 = f.mul(y1, qy)
-    t3 = f.mul(f.add(x1, y1), f.add(qx, qy))
-    t3 = f.sub(t3, f.add(t0, t1))  # x1y2 + x2y1
-    t4 = f.add(f.mul(qy, z1), y1)  # y1 + y2z1
-    y3 = f.add(f.mul(qx, z1), x1)  # x1 + x2z1
-    x3 = f.add(t0, t0)
-    t0 = f.add(x3, t0)  # 3 x1x2
-    t2 = f.mul_small(z1, B3)
-    z3 = f.add(t1, t2)
-    t1 = f.sub(t1, t2)
-    y3 = f.mul_small(y3, B3)
-    x3 = f.mul(t4, y3)
-    t2 = f.mul(t3, t1)
-    x3 = f.sub(t2, x3)
-    y3 = f.mul(y3, t0)
-    t1 = f.mul(t1, z3)
-    y3 = f.add(t1, y3)
-    t0 = f.mul(t0, t3)
-    z3 = f.mul(z3, t4)
-    z3 = f.add(z3, t0)
-    R = PointVec(x3, y3, z3)
+    s1, s4 = _unstk(f.add(_stk(x1, qx), _stk(y1, qy)), 2)
+    t0, t1, m3, y2z1, x2z1 = _unstk(
+        f.mul(_stk(x1, y1, s1, z1, z1), _stk(qx, qy, s4, qy, qx)), 5
+    )
+    t3 = f.sub(m3, f.add(t0, t1))  # x1y2 + x2y1
+    t4, w = _unstk(f.add(_stk(y2z1, x2z1), _stk(y1, x1)), 2)  # y1+y2z1, x1+x2z1
+    t2b, wb = _unstk(f.mul_small(_stk(z1, w), B3), 2)
+    t0x = f.add(t0, t0)
+    t0b = f.add(t0x, t0)  # 3 x1x2
+    z3s = f.add(t1, t2b)
+    t1b = f.sub(t1, t2b)
+    x3a, t2c, y3a, t1c, t0c, z3c = _unstk(
+        f.mul(_stk(t4, t3, wb, t1b, t0b, z3s), _stk(wb, t1b, t0b, z3s, t3, t4)), 6
+    )
+    r1, r2 = _unstk(f.add(_stk(t1c, z3c), _stk(y3a, t0c)), 2)
+    x3 = f.sub(t2c, x3a)
+    R = PointVec(x3, r1, r2)
     if q_inf is not None:
         R = pselect(q_inf, P, R)
     return R
 
 
 def pdbl(P: PointVec) -> PointVec:
-    """Complete projective doubling, RCB16 algorithm 9 (a=0), 6M + 2S."""
+    """Complete projective doubling, RCB16 algorithm 9 (a=0), 6M + 2S,
+    muls grouped into three stacked calls."""
     f = FQ
     x, y, z = P
-    t0 = f.mul(y, y)
-    z3 = f.add(t0, t0)
-    z3 = f.add(z3, z3)
-    z3 = f.add(z3, z3)  # 8 y^2
-    t1 = f.mul(y, z)
-    t2 = f.mul(z, z)
-    t2 = f.mul_small(t2, B3)  # b3 z^2
-    x3 = f.mul(t2, z3)
-    y3 = f.add(t0, t2)
-    z3 = f.mul(t1, z3)
-    t1 = f.add(t2, t2)
-    t2 = f.add(t1, t2)
-    t0 = f.sub(t0, t2)
-    y3 = f.mul(t0, y3)
-    y3 = f.add(x3, y3)
-    t1 = f.mul(x, y)
-    x3 = f.mul(t0, t1)
-    x3 = f.add(x3, x3)
+    t0, t1, zz = _unstk(f.mul(_stk(y, y, z), _stk(y, z, z)), 3)
+    t2 = f.mul_small(zz, B3)  # b3 z^2
+    z38 = f.mul_small(t0, 8)  # 8 y^2
+    y3s = f.add(t0, t2)
+    t0a = f.sub(t0, f.mul_small(t2, 3))
+    x3a, z3, xy = _unstk(f.mul(_stk(t2, t1, x), _stk(z38, z38, y)), 3)
+    y3b, x3b = _unstk(f.mul(_stk(t0a, t0a), _stk(y3s, xy)), 2)
+    y3 = f.add(x3a, y3b)
+    x3 = f.add(x3b, x3b)
     return PointVec(x3, y3, z3)
 
 

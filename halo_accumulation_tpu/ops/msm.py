@@ -108,8 +108,7 @@ def _pippenger(points: cv.PointVec, digits, c: int, pad: int) -> cv.PointVec:
             T = cv.padd(T, shifted)
             sh *= 2
         wsum = cv.sum_points(cv.PointVec(*(a[:, 1:] for a in T)), axis=0)
-        for _ in range(c):
-            acc = cv.pdbl(acc)
+        acc = jax.lax.fori_loop(0, c, lambda _, p: cv.pdbl(p), acc)
         return cv.padd(acc, wsum), 0.0
 
     acc, _ = jax.lax.scan(window_body, cv.identity(()), digits)
@@ -155,3 +154,26 @@ def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:
         return cv.padd(acc, cv.sum_points(sel, axis=0))
 
     return jax.lax.fori_loop(0, NBITS, body2, cv.identity(()))
+
+
+def msm_rows(points: cv.PointVec, scalars) -> cv.PointVec:
+    """Batched independent small MSMs: points batch (B, M), scalars
+    (16, B, M) -> one point per row (batch (B,)).
+
+    Used to verify many succinct checks at once: each row is one proof's
+    deferred group equation (2 lg d + 4 points).  Binary double-and-add
+    over the 255 shared bit positions with per-lane masks + a tree sum
+    over M; the whole batch advances in lockstep on the VPU.
+    """
+    B, M = points.x.shape[1:]
+    s = FR.canon(scalars)
+
+    def body(i, acc):
+        acc = cv.pdbl(acc)
+        bit_idx = NBITS - 1 - i
+        limb = s[bit_idx // 16]  # (B, M)
+        b = ((limb >> (bit_idx % 16).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+        sel = cv.pselect(b, points, cv.identity((B, M)))
+        return cv.padd(acc, cv.sum_points(sel, axis=1))
+
+    return jax.lax.fori_loop(0, NBITS, body, cv.identity((B,)))

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from halo_accumulation_tpu import fields as F
+from halo_accumulation_tpu import hostops as H
 from halo_accumulation_tpu import pp as pp_mod
 from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod, poly as poly_mod
 from halo_accumulation_tpu.ops.field import FQ, FR, L
@@ -64,7 +65,7 @@ def msm_device(points_host_or_vec, scalars_ints) -> Point:
 
 def host_msm(scalars, points) -> Point:
     """Tiny host MSM via the int oracle (for <= a handful of points)."""
-    return F.p_msm(scalars, points)
+    return H.p_msm(scalars, points)
 
 
 @dataclass
@@ -143,14 +144,14 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
         if len(coeffs) <= 8:
             C = host_msm(coeffs, pp.gs_host()[: len(coeffs)])
             if w is not None:
-                C = F.p_add(C, F.p_mul(w, pp.s))
+                C = H.p_add(C, H.p_mul(w, pp.s))
             return C
         coeffs = FR.from_ints(coeffs)
     k = coeffs.shape[1]
     assert k <= n
     C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs))
     if w is not None:
-        C = F.p_add(C, F.p_mul(w, pp.s))
+        C = H.p_add(C, H.p_mul(w, pp.s))
     return C
 
 
@@ -193,12 +194,12 @@ def open_(
         al = FR.from_ints([a])[:, 0]
         coeffs = cached_jit(_add_scaled, k, k)(coeffs, p_bar, al)
         w_prime = (w_bar * a + w) % F.R
-        C_prime = F.p_add(F.p_add(C, F.p_mul(a, C_bar)), F.p_neg(F.p_mul(w_prime, pp.s)))
+        C_prime = H.p_add(H.p_add(C, H.p_mul(a, C_bar)), H.p_neg(H.p_mul(w_prime, pp.s)))
     else:
         C_bar, w_prime, C_prime = None, None, C
 
     xi = tr.rho_0(ser.ser_point(C_prime), ser.ser_scalar(z), ser.ser_scalar(v))
-    H_prime = F.p_mul(xi, pp.h)
+    H_prime = H.p_mul(xi, pp.h)
 
     # initialize device vectors (pad coefficients to n)
     import jax.numpy as jnp
@@ -217,8 +218,8 @@ def open_(
         dot_l, dot_r = cached_jit(_round_dots, m)(cs[:, :m], cs[:, m:], zs[:, :m], zs[:, m:])
         Lp = msm_mod.msm(g_l, cs[:, m:])
         Rp = msm_mod.msm(g_r, cs[:, :m])
-        Lh = F.p_add(point_to_host(Lp), F.p_mul(int(FR.to_ints(dot_l)), H_prime))
-        Rh = F.p_add(point_to_host(Rp), F.p_mul(int(FR.to_ints(dot_r)), H_prime))
+        Lh = H.p_add(point_to_host(Lp), H.p_mul(int(FR.to_ints(dot_l)), H_prime))
+        Rh = H.p_add(point_to_host(Rp), H.p_mul(int(FR.to_ints(dot_r)), H_prime))
         Ls.append(Lh)
         Rs.append(Rh)
         xi_next = tr.rho_0(ser.ser_scalar(xi), ser.ser_point(Lh), ser.ser_point(Rh))
@@ -268,9 +269,17 @@ def _round_fold(gs, cs, zs, xi, xi_inv):
     return g_new, c_new, z_new
 
 
-def succinct_check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
-    """O(lg d) proof check (pcdl.rs:252-314).  Host transcript replay + one
-    small device MSM.  Returns (HPoly, U) or raises ValueError."""
+def succinct_check_parts(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
+    """Host transcript replay of succinct_check (pcdl.rs:252-314).
+
+    All challenges depend only on (C, z, v, proof), so the entire transcript
+    is replayed on the host and the group-equation check is RETURNED as an
+    MSM row (points, scalars) that must evaluate to the identity:
+
+        C' + (v - v')*xi_0*H + sum(xi^-1 L + xi R) - c*U == 0
+
+    This restructuring (vs the Rust's interleaved hash/point loop) is what
+    lets many checks batch into one device call."""
     n = d + 1
     lg_n = n.bit_length() - 1
     if n & (n - 1):
@@ -282,7 +291,7 @@ def succinct_check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.P
         a = tr.rho_0(
             ser.ser_point(C), ser.ser_scalar(z), ser.ser_scalar(v), ser.ser_point(pi.C_bar)
         )
-        C_prime = F.p_add(F.p_add(C, F.p_mul(a, pi.C_bar)), F.p_neg(F.p_mul(pi.w_prime, pp.s)))
+        C_prime = H.p_add(H.p_add(C, H.p_mul(a, pi.C_bar)), H.p_neg(H.p_mul(pi.w_prime, pp.s)))
     else:
         C_prime = C
 
@@ -294,19 +303,64 @@ def succinct_check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.P
     h = HPoly(xis)
     v_prime = pi.c * h.eval(z) % F.R
 
-    # C_lg(n) = C' + v*xi_0*H + sum(xi^-1 L + xi R)  ==  c*U + v'*xi_0*H
-    # One MSM decides it:  C' + (v - v')*xi_0*H + sum(..) - c*U == 0.
     pts = [C_prime, pp.h] + pi.Ls + pi.Rs + [pi.U]
     scs = [1, (v - v_prime) * xi_0 % F.R]
-    for i in range(lg_n):
-        scs.append(pow(xis[i + 1], -1, F.R))
-    for i in range(lg_n):
-        scs.append(xis[i + 1])
+    inv_all = _batch_inv_host([xis[i + 1] for i in range(lg_n)])
+    scs.extend(inv_all)
+    scs.extend(xis[i + 1] for i in range(lg_n))
     scs.append((-pi.c) % F.R)
-    acc = msm_device(pts, scs)
-    if acc is not None:
-        raise ValueError("C_(log_n) != CM.Commit_Sigma(c || v')")
-    return h, pi.U
+    return h, pts, scs
+
+
+def _batch_inv_host(vals):
+    """Montgomery-trick batch inversion on host ints."""
+    if not vals:
+        return []
+    pref = [1]
+    for v in vals:
+        pref.append(pref[-1] * v % F.R)
+    inv = pow(pref[-1], -1, F.R)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = pref[i] * inv % F.R
+        inv = inv * vals[i] % F.R
+    return out
+
+
+def succinct_check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
+    """O(lg d) proof check: single-proof wrapper over the batched path.
+    Returns (HPoly, U) or raises ValueError."""
+    (res,) = succinct_check_batch([(C, d, z, v, pi)], pp)
+    return res
+
+
+def succinct_check_batch(checks, pp: pp_mod.PublicParams):
+    """Verify many succinct checks in ONE device call.
+
+    checks: list of (C, d, z, v, pi) with equal d.  Returns [(HPoly, U)];
+    raises ValueError (with the failing index) if any check rejects."""
+    parts = [succinct_check_parts(C, d, z, v, pi, pp) for (C, d, z, v, pi) in checks]
+    M = max(len(p[1]) for p in parts)
+    B = len(parts)
+    pts_rows, scs_rows = [], []
+    for _, pts, scs in parts:
+        pad = M - len(pts)
+        pts_rows.append(pts + [None] * pad)
+        scs_rows.append(scs + [0] * pad)
+    P = cv.from_affine_ints([p for row in pts_rows for p in row])
+    P = cv.PointVec(*(a.reshape(L, B, M) for a in P))
+    s = FR.from_ints([x for row in scs_rows for x in row]).reshape(L, B, M)
+    R = cached_jit(_rows_and_isinf, B, M)(P, s)
+    ok = np.asarray(R)
+    for b in range(B):
+        if not ok[b]:
+            raise ValueError(f"C_(log_n) != CM.Commit_Sigma(c || v') (batch index {b})")
+    return [(p[0], checks[b][4].U) for b, p in enumerate(parts)]
+
+
+def _rows_and_isinf(P, s):
+    R = msm_mod.msm_rows(P, s)
+    return cv.is_identity(R)
 
 
 def check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
