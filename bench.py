@@ -52,8 +52,8 @@ def bench_msm(pow2: int = 20):
     log(f"URS({N}) ready in {time.time()-t0:.1f}s")
     rng = np.random.default_rng(42)
     # random scalars directly as limbs (avoid 2^20 python-int conversions)
-    arr = rng.integers(0, 1 << 16, size=(16, N), dtype=np.int64).astype(np.uint32)
-    arr[15] &= 0x3FFF  # < 2^254 < r: canonical w.o.p.
+    arr = rng.integers(0, 1 << 15, size=(18, N), dtype=np.int64).astype(np.uint32)
+    arr[17] = 0  # < 2^255; _digits canonicalizes mod r
     import jax.numpy as jnp
 
     scalars = jnp.asarray(arr)

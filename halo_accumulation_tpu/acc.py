@@ -269,3 +269,68 @@ def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp:
 
     # ---- 4. one final decider --------------------------------------------
     decider(accs[-1], pp)
+
+
+def serialize_accumulator(acc: Accumulator) -> bytes:
+    """Checkpoint format for IVC resume (a capability the reference lacks:
+    its EvalProof has no serialization derive, pcdl.rs:22).  Layout follows
+    the ark-serialize conventions used everywhere else (fields in order;
+    Vec = u64-LE length + items; Option = tag byte)."""
+    out = ser.ser_point(acc.C_bar)
+    out += ser.ser_u64(acc.d)
+    out += ser.ser_scalar(acc.z)
+    out += ser.ser_scalar(acc.v)
+    out += acc.pi.serialize()
+    out += ser.ser_scalar_vec(acc.pi_V.h)
+    out += ser.ser_point(acc.pi_V.U)
+    out += ser.ser_scalar(acc.pi_V.w)
+    return out
+
+
+def deserialize_accumulator(b: bytes) -> Accumulator:
+    off = 0
+
+    def take(n):
+        nonlocal off
+        chunk = b[off : off + n]
+        off += n
+        return chunk
+
+    C_bar = ser.deser_point(take(ser.POINT_BYTES))
+    d = int.from_bytes(take(8), "little")
+    z = int.from_bytes(take(32), "little")
+    v = int.from_bytes(take(32), "little")
+    # EvalProof is self-delimiting: parse with a cursor
+    rest = b[off:]
+    pi, used = _parse_evalproof(rest)
+    off += used
+    nh = int.from_bytes(take(8), "little")
+    h = [int.from_bytes(take(32), "little") for _ in range(nh)]
+    U = ser.deser_point(take(ser.POINT_BYTES))
+    w = int.from_bytes(take(32), "little")
+    return Accumulator(C_bar, d, z, v, pi, AccumulatorHiding(h, U, w))
+
+
+def _parse_evalproof(b: bytes):
+    off = 0
+
+    def take(n):
+        nonlocal off
+        chunk = b[off : off + n]
+        off += n
+        return chunk
+
+    def take_vec_points():
+        n = int.from_bytes(take(8), "little")
+        return [ser.deser_point(take(ser.POINT_BYTES)) for _ in range(n)]
+
+    Ls = take_vec_points()
+    Rs = take_vec_points()
+    U = ser.deser_point(take(ser.POINT_BYTES))
+    c = int.from_bytes(take(32), "little")
+    C_bar = w_prime = None
+    if take(1) == b"\x01":
+        C_bar = ser.deser_point(take(ser.POINT_BYTES))
+    if take(1) == b"\x01":
+        w_prime = int.from_bytes(take(32), "little")
+    return pcdl.EvalProof(Ls, Rs, U, c, C_bar, w_prime), off

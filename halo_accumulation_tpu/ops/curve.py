@@ -195,8 +195,8 @@ def sum_points(P: PointVec, axis: int = 0) -> PointVec:
 def scalar_bits_msb(k_limbs, nbits: int = 255):
     """Traced Fr limb vector (16,) -> bool bits array (nbits,), MSB first."""
     idx = np.arange(nbits - 1, -1, -1)
-    limb_idx = jnp.asarray(idx // 16, jnp.int32)
-    bit_idx = jnp.asarray((idx % 16).astype(np.uint32))
+    limb_idx = jnp.asarray(idx // 15, jnp.int32)
+    bit_idx = jnp.asarray((idx % 15).astype(np.uint32))
     return ((k_limbs[limb_idx] >> bit_idx) & 1).astype(jnp.bool_)
 
 
@@ -220,8 +220,11 @@ def pmul_shared(k_limbs, P: PointVec, nbits: int = 255) -> PointVec:
     def body2(i, acc):
         acc = pdbl(pdbl(acc))
         sh = 2 * (nwin - 1 - i)
-        limb = k_limbs[sh // 16]
-        d = (limb >> (sh % 16).astype(jnp.uint32)) & jnp.uint32(3)
+        q, r = sh // 15, (sh % 15).astype(jnp.uint32)
+        # window may straddle the 15-bit limb boundary (r == 14): the
+        # shifted-in high limb only reaches bit >= 1 when 15 - r <= 1, so
+        # the unconditional OR is exact after masking with 3.
+        d = ((k_limbs[q] >> r) | (k_limbs[q + 1] << (jnp.uint32(15) - r))) & jnp.uint32(3)
         T = PointVec(
             jax.lax.dynamic_index_in_dim(table.x, d.astype(jnp.int32), 0, keepdims=False),
             jax.lax.dynamic_index_in_dim(table.y, d.astype(jnp.int32), 0, keepdims=False),

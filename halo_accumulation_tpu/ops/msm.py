@@ -56,10 +56,12 @@ def _digits(scalars, c: int):
     out = []
     for w in range(W):
         bit0 = w * c
-        i0, o0 = bit0 // 16, bit0 % 16
+        i0, o0 = bit0 // 15, bit0 % 15
         d = s[i0] >> np.uint32(o0)
-        if o0 + c > 16 and i0 + 1 < L:
-            d = d | (s[i0 + 1] << np.uint32(16 - o0))
+        if o0 + c > 15 and i0 + 1 < L:
+            d = d | (s[i0 + 1] << np.uint32(15 - o0))
+        if o0 + c > 30 and i0 + 2 < L:
+            d = d | (s[i0 + 2] << np.uint32(30 - o0))
         out.append(d & np.uint32((1 << c) - 1))
     out.reverse()
     return jnp.stack(out)
@@ -146,8 +148,8 @@ def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:
     def body2(i, acc):
         acc = cv.pdbl(acc)
         bit_idx = NBITS - 1 - i
-        limb_i = bit_idx // 16
-        off = (bit_idx % 16).astype(jnp.uint32)
+        limb_i = bit_idx // 15
+        off = (bit_idx % 15).astype(jnp.uint32)
         limb = s[limb_i]
         b = ((limb >> off) & 1).astype(jnp.bool_)
         sel = cv.pselect(b, points, cv.identity((N,)))
@@ -171,8 +173,8 @@ def msm_rows(points: cv.PointVec, scalars) -> cv.PointVec:
     def body(i, acc):
         acc = cv.pdbl(acc)
         bit_idx = NBITS - 1 - i
-        limb = s[bit_idx // 16]  # (B, M)
-        b = ((limb >> (bit_idx % 16).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+        limb = s[bit_idx // 15]  # (B, M)
+        b = ((limb >> (bit_idx % 15).astype(jnp.uint32)) & 1).astype(jnp.bool_)
         sel = cv.pselect(b, points, cv.identity((B, M)))
         return cv.padd(acc, cv.sum_points(sel, axis=1))
 

@@ -31,7 +31,7 @@ from halo_accumulation_tpu import fields as F
 from halo_accumulation_tpu import hostops as H
 from halo_accumulation_tpu import pp as pp_mod
 from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod, poly as poly_mod
-from halo_accumulation_tpu.ops.field import FQ, FR, L
+from halo_accumulation_tpu.ops.field import FQ, FR, L, W
 from halo_accumulation_tpu.runtime import cached_jit
 from halo_accumulation_tpu.utils import serialize as ser
 from halo_accumulation_tpu.utils import transcript as tr
@@ -44,9 +44,9 @@ def point_to_host(P: cv.PointVec) -> Point:
     import jax
 
     x, y, z = (np.asarray(jax.device_get(c)).astype(object) for c in P)
-    xi = sum(int(x[i]) << (16 * i) for i in range(L))
-    yi = sum(int(y[i]) << (16 * i) for i in range(L))
-    zi = sum(int(z[i]) << (16 * i) for i in range(L)) % F.Q
+    xi = sum(int(x[i]) << (W * i) for i in range(L))
+    yi = sum(int(y[i]) << (W * i) for i in range(L))
+    zi = sum(int(z[i]) << (W * i) for i in range(L)) % F.Q
     if zi == 0:
         return None
     zinv = pow(zi, -1, F.Q)

@@ -7,7 +7,12 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "backend_optimization_level" not in flags:
+    # tests only check semantics; trade XLA:CPU codegen quality for much
+    # faster compiles of the large straight-line field/curve graphs
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["HALO_TPU_PLATFORM"] = "cpu"
 
 from halo_accumulation_tpu import runtime

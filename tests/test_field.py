@@ -12,23 +12,24 @@ from halo_accumulation_tpu.runtime import cached_jit
 
 
 def rand_elems(rng, f, n, lazy=False):
-    """Random canonical ints; if lazy, sample the full lazy range [0, 2p)."""
-    hi = 2 * f.p if lazy else f.p
+    """Random canonical ints; if lazy, sample the full lazy range (values
+    up to ~2^257, the GOOD bound of the 15-bit limb representation)."""
+    hi = (1 << 257) if lazy else f.p
     return [int.from_bytes(rng.bytes(40), "little") % hi for _ in range(n)]
 
 
 def from_raw(f, vs):
-    """Load possibly-non-canonical (lazy, < 2p) values without reduction."""
+    """Load possibly-non-canonical lazy values without reduction."""
     import jax.numpy as jnp
 
     arr = np.zeros((L, len(vs)), np.uint32)
     for j, v in enumerate(vs):
         for i in range(L):
-            arr[i, j] = (v >> (16 * i)) & 0xFFFF
+            arr[i, j] = (v >> (15 * i)) & 0x7FFF
     return jnp.asarray(arr)
 
 
-EDGE = lambda p: [0, 1, 2, p - 1, p - 2, p // 2, 2 * p - 1, p, p + 1, (1 << 254) - 1, 1 << 254]
+EDGE = lambda p: [0, 1, 2, p - 1, p - 2, p // 2, 2 * p - 1, p, p + 1, (1 << 254) - 1, 1 << 254, (1 << 255) + 5, (1 << 257) - 1]
 
 
 @pytest.mark.parametrize("f", [FQ, FR], ids=["Fq", "Fr"])
@@ -44,6 +45,7 @@ def test_binary_ops_vs_oracle(rng, f, op):
     n = 64
     a_int = rand_elems(rng, f, n, lazy=True) + EDGE(f.p)
     b_int = rand_elems(rng, f, n, lazy=True) + list(reversed(EDGE(f.p)))
+    n = len(a_int)
     a, b = from_raw(f, a_int), from_raw(f, b_int)
     fn = cached_jit(getattr(f, op), f.name)
     if op == "add":
@@ -58,11 +60,13 @@ def test_binary_ops_vs_oracle(rng, f, op):
         got, want = fn(a), [(x * x) % f.p for x in a_int]
     got_ints = [int(x) for x in f.to_ints(got)]
     assert got_ints == want
-    # lazy-representation invariant: raw stored value < 2p
+    # lazy-representation invariant: raw stored value stays in bounds
     raw = np.asarray(got).astype(object)
+    bound = (1 << 258) if op != "add" else (1 << 258)
     for j in range(raw.shape[1]):
-        v = sum(int(raw[i, j]) << (16 * i) for i in range(L))
-        assert v < 2 * f.p
+        v = sum(int(raw[i, j]) << (15 * i) for i in range(L))
+        assert v < bound, (op, j)
+        assert v % f.p == want[j]
 
 
 @pytest.mark.parametrize("f", [FQ, FR], ids=["Fq", "Fr"])
