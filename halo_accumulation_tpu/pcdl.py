@@ -147,6 +147,7 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
                 C = H.p_add(C, H.p_mul(w, pp.s))
             return C
         coeffs = FR.from_ints(coeffs)
+    coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
     assert k <= n
     C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs))
@@ -157,6 +158,27 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
 
 def _rho0_points_scalars(*parts) -> int:
     return tr.rho_0(*parts)
+
+
+def _pad_pow2(coeffs, n: int):
+    """Zero-pad a (16, k) coefficient array so k is a power of two (<= n).
+
+    Math no-op (top coefficients zero), but it bounds the set of shapes the
+    jit cache ever sees to the lg(n) power-of-two classes: every XLA:CPU
+    executable pins a few hundred mmap'd JIT sections for the life of the
+    process, so per-degree specializations would exhaust vm.max_map_count
+    in long sessions.  Zero digits route to the MSM dump bucket, so the
+    padding is also nearly free at run time."""
+    import jax.numpy as jnp
+
+    k = coeffs.shape[1]
+    t = 1
+    while t < k:
+        t *= 2
+    t = min(t, n)
+    if t > k:
+        coeffs = jnp.concatenate([coeffs, FR.zeros((t - k,))], axis=1)
+    return coeffs
 
 
 def open_(
@@ -177,6 +199,7 @@ def open_(
     assert n & (n - 1) == 0 and n <= pp.n
     if isinstance(coeffs, list):
         coeffs = FR.from_ints(coeffs)
+    coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
 
     zl = FR.from_ints([z])[:, 0]
@@ -341,12 +364,19 @@ def succinct_check_batch(checks, pp: pp_mod.PublicParams):
     raises ValueError (with the failing index) if any check rejects."""
     parts = [succinct_check_parts(C, d, z, v, pi, pp) for (C, d, z, v, pi) in checks]
     M = max(len(p[1]) for p in parts)
-    B = len(parts)
+    # pad the batch axis to a power of two with all-identity rows (which
+    # trivially pass) so the jit cache sees lg-bounded shape classes
+    B = 1
+    while B < len(parts):
+        B *= 2
     pts_rows, scs_rows = [], []
     for _, pts, scs in parts:
         pad = M - len(pts)
         pts_rows.append(pts + [None] * pad)
         scs_rows.append(scs + [0] * pad)
+    for _ in range(B - len(parts)):
+        pts_rows.append([None] * M)
+        scs_rows.append([0] * M)
     P = cv.from_affine_ints([p for row in pts_rows for p in row])
     P = cv.PointVec(*(a.reshape(L, B, M) for a in P))
     s = FR.from_ints([x for row in scs_rows for x in row]).reshape(L, B, M)

@@ -23,6 +23,27 @@ _CACHE_DIR = os.environ.get("HALO_TPU_COMPILE_CACHE", str(_REPO_ROOT / ".jax_cac
 
 _initialized = False
 
+# Each XLA:CPU executable JIT-maps a few hundred small code/rodata/data
+# sections (one triple per emitted kernel module).  A long pytest session
+# compiles hundreds of executables, which blows straight through the Linux
+# default vm.max_map_count (65530) and crashes the process inside LLVM's
+# section allocator with ENOMEM.  Raise the limit best-effort (root only,
+# same class of requirement as Elasticsearch/mongod); harmless if denied.
+_MAP_COUNT_TARGET = 1 << 20
+
+
+def _raise_map_count_limit():
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            cur = int(f.read())
+        if cur >= _MAP_COUNT_TARGET:
+            return
+        with open(path, "w") as f:
+            f.write(str(_MAP_COUNT_TARGET))
+    except (OSError, ValueError):
+        pass
+
 
 def init(platform: str | None = None):
     """Initialize backend + compile cache.  platform: 'cpu', 'tpu' or None
@@ -30,6 +51,7 @@ def init(platform: str | None = None):
     global _initialized
     if _initialized:
         return
+    _raise_map_count_limit()
     plat = platform or os.environ.get("HALO_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
