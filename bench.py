@@ -59,21 +59,14 @@ def bench_msm(pow2: int = 20):
     scalars = jnp.asarray(arr)
     points = pp.gs_points(N)
 
-    c = msm_mod.window_size(N)
-    digits = cached_jit(msm_mod._digits, c, static_argnums=1)(scalars, c)
-    maxc = int(cached_jit(msm_mod._max_bucket_count)(digits))
-    pad = 1
-    while pad < maxc:
-        pad *= 2
-    log(f"MSM N=2^{pow2}: c={c}, pad={pad}")
-    pip = cached_jit(msm_mod._pippenger, "pip", c, pad, static_argnums=(2, 3))
+    log(f"MSM N=2^{pow2}: c={msm_mod.window_size(N)}")
     t0 = time.time()
-    r = pip(points, digits, c, pad)
-    jax.block_until_ready(r)
+    r = msm_mod.msm(points, scalars)
+    jax.block_until_ready(r.x)
     log(f"MSM compile+first run {time.time()-t0:.1f}s")
 
     def run():
-        jax.block_until_ready(pip(points, digits, c, pad))
+        jax.block_until_ready(msm_mod.msm(points, scalars).x)
 
     dt = time_best(run, 3)
     pts_per_s = N / dt

@@ -22,6 +22,17 @@ all branchless vectorized complete-adds.  Key properties:
   * The window loop is a lax.scan from the most significant window down,
     with c doublings between windows (Horner over windows), so one compile
     covers all windows.
+
+Staged execution (TPU workaround): the current TPU backend deterministically
+miscompiles field-arithmetic programs past a certain fused-graph size - a
+single kernel containing scatter + pad-reduce + suffix-scan + lane-reduce
+(~25 point-add-equivalents) returns off-curve garbage at N>=1024 while every
+<=17-op subgraph of it, run alone, is bit-correct (and the identical program
+is correct on XLA:CPU).  msm() therefore runs Pippenger as FOUR modest
+dispatches (_bucket_sums -> _suffix_mask -> _horner_windows -> _lane_reduce),
+each under the empirically-safe size; arrays stay device-resident between
+launches so the cost is three extra kernel launches.  The fused single-kernel
+variant is kept as _pippenger for small problems and compile checks.
 """
 
 from __future__ import annotations
@@ -117,13 +128,111 @@ def _pippenger(points: cv.PointVec, digits, c: int, pad: int) -> cv.PointVec:
     return acc
 
 
+def _bucket_sums_chunk(points: cv.PointVec, digits, c: int, pad: int):
+    """Stage 1 (per chunk): bucket sums for a chunk of windows, with the
+    window axis as a real vectorized array axis - NO loop.  (Wc, N) digits
+    -> (Wc, L, B) sums.
+
+    Loop-free on purpose: lax.scan with stacked (ys) outputs of this shape
+    is one of the two miscompile triggers on the current TPU backend (see
+    module docstring); a batched kernel sidesteps it and is also the better
+    TPU program (one big scatter + one tree reduce instead of Wc small
+    ones)."""
+    Wc, N = digits.shape
+    B = 1 << c
+    order = jnp.argsort(digits, axis=1)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    pts = cv.PointVec(
+        *(jnp.take(a, order, axis=1).reshape(L, Wc * N) for a in points)
+    )  # a[:, order] -> (L, Wc, N)
+    first = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(sd)
+    rank = jnp.arange(N, dtype=first.dtype)[None, :] - first
+    col = sd.astype(jnp.int32) * pad + jnp.minimum(rank, pad - 1).astype(jnp.int32)
+    idx = (jnp.arange(Wc, dtype=jnp.int32)[:, None] * (B * pad) + col).reshape(Wc * N)
+    ident = cv.identity((Wc * B * pad,))
+    M = cv.PointVec(
+        ident.x.at[:, idx].set(pts.x),
+        ident.y.at[:, idx].set(pts.y),
+        ident.z.at[:, idx].set(pts.z),
+    )
+    M = cv.PointVec(*(a.reshape(L, Wc, B, pad) for a in M))
+    S = cv.sum_points(M, axis=2)  # (L, Wc, B)
+    return tuple(jnp.moveaxis(a, 0, 1) for a in S)  # (Wc, L, B)
+
+
+# scratch budget for the stage-1 scatter matrix, in point columns
+# (chunk * B * pad).  The real memory unit is the padd tree-reduce's fused
+# multiply temporaries - (18, 6, cols/2) uint32 stacks, ~216 bytes/column
+# with up to ~20 live at once - so 2^18 columns keeps peak HBM ~1 GB.
+_SCATTER_BUDGET_COLS = 1 << 18
+
+
+def _bucket_sums(points: cv.PointVec, digits, c: int, pad: int):
+    """Stage 1: per-window bucket sums, (W, N) digits -> (W, L, B), chunked
+    over windows to bound the scatter scratch matrix."""
+    W, N = digits.shape
+    B = 1 << c
+    chunk = max(1, min(W, _SCATTER_BUDGET_COLS // (B * pad)))
+    outs = []
+    k = cached_jit(_bucket_sums_chunk, "bsc", c, pad, chunk, static_argnums=(2, 3))
+    for w0 in range(0, W - W % chunk, chunk):
+        outs.append(k(points, digits[w0 : w0 + chunk], c, pad))
+    if W % chunk:
+        ktail = cached_jit(
+            _bucket_sums_chunk, "bsc", c, pad, W % chunk, static_argnums=(2, 3)
+        )
+        outs.append(ktail(points, digits[W - W % chunk :], c, pad))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3))
+
+
+def _suffix_mask(xs, c: int):
+    """Stage 2: bucket-weight application.  Suffix sums T_b = sum_{j>=b} S_j
+    give sum_{b>=1} T_b = sum_b b*S_b; bucket 0 (the zero-digit dump) is
+    masked to the identity.  (W, L, B) -> (W, L, B)."""
+    B = 1 << c
+    T = cv.PointVec(*(jnp.moveaxis(a, 0, 1) for a in xs))  # (L, W, B)
+    Wn = T.x.shape[1]
+    sh = 1
+    while sh < B:
+        shifted = cv.PointVec(
+            *(jnp.concatenate([a[:, :, sh:], cv.identity((Wn, sh))[i]], axis=2)
+              for i, a in enumerate(T))
+        )
+        T = cv.padd(T, shifted)
+        sh *= 2
+    T = cv.pselect(jnp.arange(B) >= 1, T, cv.identity((Wn, B)))
+    return tuple(jnp.moveaxis(a, 1, 0) for a in T)  # (W, L, B)
+
+
+def _horner_windows(xs, c: int):
+    """Stage 3: Horner over windows at full lane width.  Carry a (L, B)
+    point vector acc_{w+1} = 2^c * acc_w + T_w (doubling distributes over
+    lanes, so the final per-lane sum equals the per-window weighted sum)."""
+    B = xs[0].shape[2]
+
+    def body(acc, t):
+        acc = jax.lax.fori_loop(0, c, lambda _, p: cv.pdbl(p), acc)
+        return cv.padd(acc, cv.PointVec(*t)), 0.0
+
+    acc, _ = jax.lax.scan(body, cv.identity((B,)), xs)
+    return tuple(acc)  # (L, B)
+
+
+def _lane_reduce(xs):
+    """Stage 4: tree-reduce the lane axis to one projective point."""
+    return cv.sum_points(cv.PointVec(*xs), axis=0)
+
+
 def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
     """MSM over the Pallas curve: sum_i scalars_i * points_i.
 
     points: PointVec with batch (N,); scalars: (16, N) Fr limbs.
     Host-orchestrated: digit extraction and bucket-size measurement run as
-    small jitted kernels, then the main static-shape kernel is dispatched.
-    Returns a single projective point (batch ()).
+    small jitted kernels, then the four Pippenger stages are dispatched
+    (staged, not fused - see module docstring).  Returns a single projective
+    point (batch ()).
     """
     N = points.x.shape[1]
     assert scalars.shape == (L, N)
@@ -135,7 +244,10 @@ def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
     while pad < maxc:
         pad *= 2
     pad = min(pad, N)
-    return cached_jit(_pippenger, "pip", c, pad, static_argnums=(2, 3))(points, digits, c, pad)
+    s = _bucket_sums(points, digits, c, pad)
+    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(s, c)
+    a = cached_jit(_horner_windows, "hw", c, static_argnums=1)(t, c)
+    return cached_jit(_lane_reduce, "lr")(a)
 
 
 def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:
