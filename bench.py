@@ -1,16 +1,27 @@
 """Benchmark driver: prints ONE JSON line {metric, value, unit, vs_baseline}.
 
-Headline metric: wall-clock of the accumulated-verification path at
-d+1 = 16384 with a 10-step chain ("acc_cmp_f_16384_10"), directly
-comparable to the reference's published 299.49 ms
-(/root/reference/report/report.md:2140; BASELINE.md).  vs_baseline is the
-speedup factor: reference_ms / ours_ms (>1 = faster than reference).
+Headline metric: wall-clock of the accumulated-verification fast path at
+d+1 = 16384 with a 10-step chain ("acc_cmp_f_16384_10"): one ASDL verifier
+per step + one final decider, exactly the reference's fast helper
+(/root/reference/code/benches/acc.rs:64-74), batched TPU-natively by
+acc.verify_chain.  Directly comparable to the reference's published
+299.49 ms (report/report.md:2140; BASELINE.md).  vs_baseline is the speedup
+factor: reference_ms / ours_ms (>1 = faster than reference).
 
-Fallback: if the chain bench cannot run (e.g. URS/bench budget), reports
-the MSM points/sec metric at 2^20 against a baseline derived from the
-reference decider (16384-point MSM dominating 153 ms).
+Also measured (side metrics, stderr):
+  * acc_cmp_s_16384_10 - the slow/naive path (a full decider per step,
+    benches/acc.rs:100-106) vs the reference's 1.5227 s.
+  * acc_cmp_{f,s}_512_10 vs 67.098 / 94.834 ms.
+  * single-decider wall clock at d+1=16384 (vs the derived ~153 ms anchor).
+  * MSM throughput at N=2^20 (points/s) - degree range the reference cannot
+    reach (compile-time URS caps it at 2^14, report.md:2081-2086).
 
-Side metrics go to stderr.
+Fallbacks: if a chain bench cannot run, the headline falls back to the MSM
+metric so the driver always gets a parsable line.
+
+Env knobs: HALO_BENCH_MSM_POW (default 20, 0 disables), HALO_BENCH_SMALL=0
+disables the 512 grid row, HALO_BENCH_N / HALO_BENCH_K override the headline
+chain, HALO_BENCH_REPS timing repetitions (default 3).
 """
 
 from __future__ import annotations
@@ -21,6 +32,23 @@ import sys
 import time
 
 import numpy as np
+
+REF_MS = {  # BASELINE.md (report.md:2129-2164), K=10 rows + derived anchors
+    ("f", 512, 10): 67.098,
+    ("f", 1024, 10): 77.597,
+    ("f", 2048, 10): 99.973,
+    ("f", 4096, 10): 139.35,
+    ("f", 8192, 10): 186.34,
+    ("f", 16384, 10): 299.49,
+    ("s", 512, 10): 94.834,
+    ("s", 1024, 10): 151.25,
+    ("s", 2048, 10): 258.92,
+    ("s", 4096, 10): 453.55,
+    ("s", 8192, 10): 838.05,
+    ("s", 16384, 10): 1522.7,
+    ("f", 16384, 100): 1648.4,
+    ("s", 16384, 100): 15253.0,
+}
 
 
 def log(*a):
@@ -36,17 +64,44 @@ def time_best(fn, n=3):
     return best
 
 
-def bench_msm(pow2: int = 20):
+def crosscheck_fused_vs_staged(n: int = 2048) -> bool:
+    """Device self-check: the fused Pippenger dispatch must agree with the
+    staged 4-dispatch pipeline (guards against the round-1 TPU fused-graph
+    miscompile resurfacing; see ops/msm.py docstring)."""
     import jax
+    import jax.numpy as jnp
 
-    from halo_accumulation_tpu import fields as F
-    from halo_accumulation_tpu import pp as pp_mod
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
-    from halo_accumulation_tpu.ops.field import FR
     from halo_accumulation_tpu.runtime import cached_jit
 
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 1 << 15, size=(18, n), dtype=np.int64).astype(np.uint32)
+    arr[17] = 0
+    s = jnp.asarray(arr)
+    # synthetic distinct points: k*G via the fixed-base path is overkill -
+    # reuse the URS generator multiples from a tiny pp
+    from halo_accumulation_tpu import pp as pp_mod
+
+    pts = pp_mod.get_pp(max(2048, n)).gs_points(n)
+    r_fused = msm_mod.msm(pts, s)
+    os.environ["HALO_TPU_FORCE_STAGED"] = "1"
+    try:
+        r_staged = msm_mod.msm(pts, s)
+    finally:
+        os.environ.pop("HALO_TPU_FORCE_STAGED", None)
+    ok = bool(np.asarray(cached_jit(cv.peq)(r_fused, r_staged)))
+    log(f"fused-vs-staged cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
+def bench_msm(pow2: int, reps: int, side: dict):
+    import jax
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu import pp as pp_mod, profiling
+    from halo_accumulation_tpu.ops import msm as msm_mod
+
     N = 1 << pow2
-    urs_n = min(max(N, 2), 1 << 20)
     t0 = time.time()
     pp = pp_mod.get_pp(N)
     log(f"URS({N}) ready in {time.time()-t0:.1f}s")
@@ -54,12 +109,11 @@ def bench_msm(pow2: int = 20):
     # random scalars directly as limbs (avoid 2^20 python-int conversions)
     arr = rng.integers(0, 1 << 15, size=(18, N), dtype=np.int64).astype(np.uint32)
     arr[17] = 0  # < 2^255; _digits canonicalizes mod r
-    import jax.numpy as jnp
-
     scalars = jnp.asarray(arr)
     points = pp.gs_points(N)
 
-    log(f"MSM N=2^{pow2}: c={msm_mod.window_size(N)}")
+    c = msm_mod.window_size(N)
+    log(f"MSM N=2^{pow2}: c={c}")
     t0 = time.time()
     r = msm_mod.msm(points, scalars)
     jax.block_until_ready(r.x)
@@ -68,10 +122,58 @@ def bench_msm(pow2: int = 20):
     def run():
         jax.block_until_ready(msm_mod.msm(points, scalars).x)
 
-    dt = time_best(run, 3)
+    with profiling.trace(f"msm_2^{pow2}"):
+        dt = time_best(run, reps)
     pts_per_s = N / dt
-    log(f"MSM 2^{pow2}: {dt*1e3:.1f} ms = {pts_per_s:.3e} points/s")
+    # rough roofline context from the analytic cost model
+    digits = msm_mod._digits(scalars, c)
+    pads = msm_mod._measure_pads(digits, c)
+    thr = profiling.msm_throughput(N, c, max(pads), dt)
+    side[f"msm_2^{pow2}_padds"] = thr["padds"]
+    side[f"msm_2^{pow2}_u32_gops_per_s"] = thr["achieved_u32_gops_per_s"]
+    side[f"msm_2^{pow2}_vpu_util_est"] = thr["vpu_util_est"]
+    log(f"MSM 2^{pow2}: {dt*1e3:.1f} ms = {pts_per_s:.3e} points/s; {thr}")
     return pts_per_s, dt
+
+
+def bench_chain(n: int, k: int, reps: int, side: dict):
+    """Build a k-step chain at d+1 = n, then time fast + slow verification.
+    Chain construction (prover work) is setup, exactly like the reference
+    benches (criterion only times the helpers)."""
+    import jax
+
+    from halo_accumulation_tpu import acc as acc_mod, chain, pp as pp_mod
+
+    pp = pp_mod.get_pp(n)
+    rng = np.random.default_rng(7)
+    t0 = time.time()
+    d, qss, accs = chain.build_chain(rng, n, k, pp)
+    log(f"chain n={n} k={k} built in {time.time()-t0:.1f}s")
+
+    # fast path (headline semantics)
+    t0 = time.time()
+    chain.verify_chain_fast(d, qss, accs, pp)
+    log(f"verify_chain_fast warmup {time.time()-t0:.1f}s")
+    dt_f = time_best(lambda: chain.verify_chain_fast(d, qss, accs, pp), reps)
+    ref = REF_MS.get(("f", n, k))
+    side[f"acc_cmp_f_{n}_{k}_ms"] = round(dt_f * 1e3, 2)
+    if ref:
+        side[f"acc_cmp_f_{n}_{k}_vs_ref"] = round(ref / (dt_f * 1e3), 2)
+    log(f"acc_cmp_f_{n}_{k}: {dt_f*1e3:.1f} ms (ref {ref} ms)")
+
+    # single decider anchor
+    dt_d = time_best(lambda: acc_mod.decider(accs[-1], pp), reps)
+    side[f"decider_{n}_ms"] = round(dt_d * 1e3, 2)
+    log(f"decider n={n}: {dt_d*1e3:.1f} ms")
+
+    # slow path
+    dt_s = time_best(lambda: chain.verify_chain_slow(accs, pp), max(1, reps - 1))
+    ref_s = REF_MS.get(("s", n, k))
+    side[f"acc_cmp_s_{n}_{k}_ms"] = round(dt_s * 1e3, 2)
+    if ref_s:
+        side[f"acc_cmp_s_{n}_{k}_vs_ref"] = round(ref_s / (dt_s * 1e3), 2)
+    log(f"acc_cmp_s_{n}_{k}: {dt_s*1e3:.1f} ms (ref {ref_s} ms)")
+    return dt_f
 
 
 def main():
@@ -81,22 +183,65 @@ def main():
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    reps = int(os.environ.get("HALO_BENCH_REPS", "3"))
+    side: dict = {}
+    headline = None
 
-    pow2 = int(os.environ.get("HALO_BENCH_MSM_POW", "20"))
-    pts_per_s, dt = bench_msm(pow2)
-    # reference-derived baseline: decider at d+1=16384 = 153 ms, dominated
-    # by its 16384-point MSM -> ~1.07e5 points/s on the reference's core.
-    ref_rate = 16384 / 0.15263
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_points_per_sec_2^{pow2}",
-                "value": round(pts_per_s, 1),
-                "unit": "points/s",
-                "vs_baseline": round(pts_per_s / ref_rate, 2),
+    n = int(os.environ.get("HALO_BENCH_N", "16384"))
+    k = int(os.environ.get("HALO_BENCH_K", "10"))
+
+    try:
+        side["fused_vs_staged_ok"] = crosscheck_fused_vs_staged()
+    except Exception as e:  # noqa: BLE001
+        log(f"cross-check failed to run: {type(e).__name__}: {e}")
+
+    if os.environ.get("HALO_BENCH_SMALL", "1") != "0":
+        try:
+            bench_chain(512, 10, reps, side)
+        except Exception as e:  # noqa: BLE001 - bench must always emit JSON
+            log(f"small chain bench failed: {type(e).__name__}: {e}")
+
+    try:
+        dt_f = bench_chain(n, k, reps, side)
+        ref = REF_MS.get(("f", n, k))
+        if ref:
+            headline = {
+                "metric": f"acc_cmp_f_{n}_{k}",
+                "value": round(dt_f * 1e3, 2),
+                "unit": "ms",
+                "vs_baseline": round(ref / (dt_f * 1e3), 2),
             }
-        )
-    )
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        log(f"chain bench failed: {type(e).__name__}: {e}")
+
+    msm_pow = int(os.environ.get("HALO_BENCH_MSM_POW", "20"))
+    if msm_pow:
+        try:
+            pts_per_s, dt = bench_msm(msm_pow, reps, side)
+            side[f"msm_2^{msm_pow}_points_per_s"] = round(pts_per_s, 1)
+            side[f"msm_2^{msm_pow}_ms"] = round(dt * 1e3, 1)
+            if headline is None:
+                # reference-derived: decider at d+1=16384 = 153 ms dominated
+                # by its 16384-point MSM -> ~1.07e5 points/s single-core.
+                ref_rate = 16384 / 0.15263
+                headline = {
+                    "metric": f"msm_points_per_sec_2^{msm_pow}",
+                    "value": round(pts_per_s, 1),
+                    "unit": "points/s",
+                    "vs_baseline": round(pts_per_s / ref_rate, 2),
+                }
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
+    log("side metrics: " + json.dumps(side))
+    if headline is None:
+        headline = {"metric": "bench_failed", "value": 0, "unit": "none", "vs_baseline": 0}
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

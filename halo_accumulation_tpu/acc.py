@@ -117,7 +117,7 @@ class AccumulatedHPolys:
         return v
 
     def coeffs_device(self, n: int):
-        """Dense coefficients of the combined polynomial, (16, n) device."""
+        """Dense coefficients of the combined polynomial, (L, n) device."""
         import jax.numpy as jnp
 
         acc = FR.from_ints(self.h_0 if self.h_0 is not None else [0])
@@ -217,35 +217,41 @@ def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp:
     Raises ValueError on any rejection.
     """
     assert len(qss) == len(accs)
-    # ---- 1. batch all succinct checks across all steps -------------------
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from halo_accumulation_tpu.ops import curve as cv
+    from halo_accumulation_tpu.ops.field import L as _L
+
+    # ---- 1. enqueue ALL device work first (no fetch: one tunnel round
+    # trip costs ~30 ms, so every verdict is combined into a single sync at
+    # the end while the host does the transcript bookkeeping in parallel) --
     flat = []
     step_slices = []
     for qs in qss:
         step_slices.append((len(flat), len(flat) + len(qs)))
         flat.extend((q.C, q.d, q.z, q.v, q.pi) for q in qs)
-    results = pcdl.succinct_check_batch(flat, pp)
+    parts, ok_succ = pcdl.succinct_check_batch_device(flat, pp)
 
-    # ---- 2. batch all U_0 = commit(h_0) checks ---------------------------
-    g0, g1 = pp.gs_host()[0], pp.gs_host()[1]
-    import numpy as _np
-
+    # batched U_0 = commit(h_0) checks (one msm_rows dispatch)
+    g0, g1 = pp.gs_host(2)
     B = len(accs)
     pts_rows, scs_rows = [], []
     for acc in accs:
         pts_rows.append([g0, g1, acc.pi_V.U])
         scs_rows.append([acc.pi_V.h[0], acc.pi_V.h[1], F.R - 1])
-    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
-    from halo_accumulation_tpu.ops.field import L as _L
-
     P = cv.from_affine_ints([p for row in pts_rows for p in row])
     P = cv.PointVec(*(a.reshape(_L, B, 3) for a in P))
     s = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, B, 3)
-    ok = _np.asarray(cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(P, s))
-    for b in range(B):
-        if not ok[b]:
-            raise ValueError(f"U_0 != PCDL.Commit(h_0) at step {b}")
+    ok_u0 = cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(P, s)
 
-    # ---- 3. per-step host bookkeeping (challenges + equality checks) -----
+    # the one final decider, verdict left on device
+    last = accs[-1]
+    ok_dec = pcdl.check_device(last.C_bar, last.d, last.z, last.v, last.pi, pp)
+
+    # ---- 2. per-step host bookkeeping (challenges + equality checks),
+    # overlapping the device queue --------------------------------------
+    results = [(p[0], flat[b][4].U) for b, p in enumerate(parts)]
     for k, (qs, acc) in enumerate(zip(qss, accs)):
         lo, hi = step_slices[k]
         hs = AccumulatedHPolys(len(qs))
@@ -267,8 +273,22 @@ def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp:
         if hs.eval(acc.z) != acc.v:
             raise ValueError(f"h(z) != v at step {k}")
 
-    # ---- 4. one final decider --------------------------------------------
-    decider(accs[-1], pp)
+    # ---- 3. ONE fetch for every device verdict ----------------------------
+    combined = _np.asarray(
+        cached_jit(lambda a, b, c: jnp.concatenate([a, b, c[None]]), "vc")(
+            ok_succ, ok_u0, ok_dec
+        )
+    )
+    nS = int(ok_succ.shape[0])
+    for b in range(len(flat)):
+        if not combined[b]:
+            raise ValueError(f"C_(log_n) != CM.Commit_Sigma(c || v') (batch index {b})")
+    for b in range(B):
+        if not combined[nS + b]:
+            raise ValueError(f"U_0 != PCDL.Commit(h_0) at step {b}")
+    if not combined[-1]:
+        # rule out a pinned-pad overflow before rejecting (see pcdl.check)
+        decider(last, pp)
 
 
 def serialize_accumulator(acc: Accumulator) -> bytes:

@@ -33,8 +33,6 @@ B_COEFF = 5
 G_X = Q - 1
 G_Y = 2
 
-# Cube-root endomorphism constants (for future GLV use): zeta_q^3 = 1 in Fq.
-# phi(x, y) = (zeta_q * x, y) acts as multiplication by zeta_r on the group.
 
 
 def inv_mod(a: int, p: int) -> int:

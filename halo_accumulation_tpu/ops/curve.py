@@ -10,7 +10,7 @@ TPU-native choices:
     identity (0:1:0) uniformly - which is exactly what a SIMD lane needs;
     arkworks instead branches per point, which would be poison on the VPU.
   * Points-as-structure-of-arrays: a point vector is a tuple (X, Y, Z) of
-    (16, *batch) uint32 limb arrays, so every field op vectorizes over the
+    (L=18, *batch) uint32 limb arrays, so every field op vectorizes over the
     batch axis.
   * b3 = 3*b = 15 multiplications are done as cheap mul-by-constant limb
     scalings, not full field muls.
@@ -30,7 +30,7 @@ B3 = 15  # 3 * b for y^2 = x^3 + 5
 
 
 class PointVec(NamedTuple):
-    """Projective point(s): X, Y, Z limb arrays of shape (16, *batch)."""
+    """Projective point(s): X, Y, Z limb arrays of shape (L=18, *batch)."""
 
     x: jnp.ndarray
     y: jnp.ndarray
@@ -64,15 +64,46 @@ def _unstk(a, k):
     return [a[:, i] for i in range(k)]
 
 
+def _pallas_route(*arrs) -> bool:
+    """Route through the hand-fused Pallas kernels on TPU for wide batches:
+    measured ~44x over the XLA elementwise path (tools/tpu_pallas_check.py,
+    129 vs 2.9 Mpadd/s - XLA splits the limb math into many small fusions
+    with HBM round-trips).  Trace-time decision: backend and shapes are
+    static under jit."""
+    from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+    if not pk.enabled():
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    n = 1
+    for s in arrs[0].shape[1:]:
+        n *= s
+    return n >= 1024
+
+
 def padd(P: PointVec, Q: PointVec) -> PointVec:
     """Complete projective addition, RCB16 algorithm 7 (a=0), 12M + 2m(b3).
 
     Mirrors the semantics of arkworks' `Projective + Projective` used all
     over /root/reference/code/src/pcdl.rs (e.g. :218, :291-298).
 
-    The field muls are grouped into two stacked mul calls (and the
-    adds/subs likewise): HLO graph size is per-call, not per-limb-op, so
-    this keeps kernels that inline many point adds compilable."""
+    On TPU, wide batches run as ONE hand-fused Pallas kernel
+    (ops/pallas_kernels.py).  On the XLA path the field muls are grouped
+    into two stacked mul calls (and the adds/subs likewise): HLO graph
+    size is per-call, not per-limb-op, so this keeps kernels that inline
+    many point adds compilable."""
+    if P.x.shape == Q.x.shape and _pallas_route(P.x):
+        from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+        sh = P.x.shape
+        flat = lambda a: a.reshape(L, -1)  # noqa: E731
+        ox, oy, oz = pk.padd(
+            (flat(P.x), flat(P.y), flat(P.z)), (flat(Q.x), flat(Q.y), flat(Q.z))
+        )
+        return PointVec(ox.reshape(sh), oy.reshape(sh), oz.reshape(sh))
     f = FQ
     x1, y1, z1 = P
     x2, y2, z2 = Q
@@ -128,7 +159,14 @@ def padd_mixed(P: PointVec, qx, qy, q_inf=None) -> PointVec:
 
 def pdbl(P: PointVec) -> PointVec:
     """Complete projective doubling, RCB16 algorithm 9 (a=0), 6M + 2S,
-    muls grouped into three stacked calls."""
+    muls grouped into three stacked calls; Pallas-fused on TPU for wide
+    batches (see padd)."""
+    if _pallas_route(P.x):
+        from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+        sh = P.x.shape
+        ox, oy, oz = pk.pdbl((P.x.reshape(L, -1), P.y.reshape(L, -1), P.z.reshape(L, -1)))
+        return PointVec(ox.reshape(sh), oy.reshape(sh), oz.reshape(sh))
     f = FQ
     x, y, z = P
     t0, t1, zz = _unstk(f.mul(_stk(y, y, z), _stk(y, z, z)), 3)
@@ -193,7 +231,7 @@ def sum_points(P: PointVec, axis: int = 0) -> PointVec:
 
 
 def scalar_bits_msb(k_limbs, nbits: int = 255):
-    """Traced Fr limb vector (16,) -> bool bits array (nbits,), MSB first."""
+    """Traced Fr limb vector (L,) -> bool bits array (nbits,), MSB first."""
     idx = np.arange(nbits - 1, -1, -1)
     limb_idx = jnp.asarray(idx // 15, jnp.int32)
     bit_idx = jnp.asarray((idx % 15).astype(np.uint32))
@@ -202,7 +240,7 @@ def scalar_bits_msb(k_limbs, nbits: int = 255):
 
 def pmul_shared(k_limbs, P: PointVec, nbits: int = 255) -> PointVec:
     """Multiply every point in the vector by the SAME traced scalar k (Fr
-    canonical limbs, shape (16,)).  Used by the IPA fold
+    canonical limbs, shape (L,)).  Used by the IPA fold
     (/root/reference/code/src/pcdl.rs:216-224 does one Rust scalar-mul per
     point; here one shared double-and-add sweep runs across all lanes).
 

@@ -16,52 +16,101 @@ all branchless vectorized complete-adds.  Key properties:
     digits collide harmlessly there, so MSM cost scales with the number of
     *nonzero* digits - commitments to low-degree polynomials padded with
     zeros (pcdl.rs:99-110 pads to n = d+1) cost almost nothing.
-  * PAD (max points per bucket) is measured on device and fixed per call on
-    the host, so the kernel itself stays static-shaped; the jit cache is
-    keyed on (N, c, PAD) power-of-two classes.
-  * The window loop is a lax.scan from the most significant window down,
-    with c doublings between windows (Horner over windows), so one compile
-    covers all windows.
-
-Staged execution (TPU workaround): the current TPU backend deterministically
-miscompiles field-arithmetic programs past a certain fused-graph size - a
-single kernel containing scatter + pad-reduce + suffix-scan + lane-reduce
-(~25 point-add-equivalents) returns off-curve garbage at N>=1024 while every
-<=17-op subgraph of it, run alone, is bit-correct (and the identical program
-is correct on XLA:CPU).  msm() therefore runs Pippenger as FOUR modest
-dispatches (_bucket_sums -> _suffix_mask -> _horner_windows -> _lane_reduce),
-each under the empirically-safe size; arrays stay device-resident between
-launches so the cost is three extra kernel launches.  The fused single-kernel
-variant is kept as _pippenger for small problems and compile checks.
+  * PAD (max points per bucket) is measured on device PER WINDOW and fixed
+    per call on the host, so kernels stay static-shaped; pads are rounded
+    to {2^k, 3*2^(k-1)} classes to bound the jit cache.  Windows are
+    grouped into runs sharing (bucket count, pad): the top window - whose
+    digit range is cut down by the field modulus (canonical Fr < r ~ 2^254)
+    and by 255 mod c - gets its own smaller bucket space and larger pad
+    instead of inflating every window's scatter matrix (the round-1 failure
+    mode at N=2^20).
+  * The hot path is a SINGLE fused dispatch per window group: a lax.scan
+    over the group's windows whose body does sort -> scatter -> pad tree
+    reduce -> suffix weighted sum -> Horner carry (_pippenger).  Round 1 of
+    this build hit a TPU backend bug where exactly this fused graph
+    returned off-curve garbage at N >= 1024; on the current stack the
+    reproducers (tools/tpu_fusion_probe.py, tools/tpu_msm_check.py) pass,
+    the fused path is ~5x faster than split dispatches (HBM
+    materialization between stages), and bench.py cross-checks fused vs
+    staged on device at startup.  HALO_TPU_FORCE_STAGED=1 reverts to the
+    4-dispatch staged pipeline (_bucket_sums -> _suffix_mask ->
+    _window_reduce -> _horner_combine), which is also the fallback when a
+    window group's scatter matrix exceeds the memory budget (points are
+    then chunked and per-chunk bucket sums combined with complete adds, so
+    a skewed digit distribution can never blow past the budget - it only
+    increases the chunk count).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from halo_accumulation_tpu import fields as _fields
 from halo_accumulation_tpu.ops import curve as cv
 from halo_accumulation_tpu.ops.field import FR, L
 from halo_accumulation_tpu.runtime import cached_jit
 
 NBITS = 255
 
+# scratch budget for the stage-1 scatter matrix, in point columns
+# (window_group * B * pad).  A column is ~216 bytes of limb planes plus the
+# pad tree-reduce's temporaries; 2^21 columns keeps peak HBM use around
+# 1-1.5 GB, comfortable on a 16 GB chip and irrelevant on CPU test meshes.
+_SCATTER_BUDGET_COLS = int(os.environ.get("HALO_TPU_MSM_BUDGET_COLS", str(1 << 21)))
+
 
 def window_size(n: int) -> int:
-    """Bucket-width heuristic: balances N adds of accumulation vs 2^c-ish
-    adds of bucket reduction per window."""
-    lg = max(1, int(np.log2(max(n, 2))))
-    return int(np.clip(lg - 3, 2, 14))
+    """Bucket-width heuristic.  Balances stage-1 scatter cost
+    W*B*pad ~ W*N*(pad/mean) against the suffix scan's W*B*c and the
+    per-window sort/gather overhead."""
+    if n >= (1 << 18):
+        return 13
+    if n >= (1 << 15):
+        return 10
+    if n >= (1 << 11):
+        return 8
+    if n >= (1 << 8):
+        return 6
+    return 4
 
 
 def num_windows(c: int) -> int:
     return (NBITS + c - 1) // c
 
 
+def _round_pad(m: int) -> int:
+    """Round a measured bucket count up to the next {2^k, 3*2^(k-1)} class:
+    bounds jit-cache growth while capping pad overhead at ~33%."""
+    if m <= 2:
+        return max(1, m)
+    p = 1
+    while True:
+        if p >= m:
+            return p
+        if 3 * p // 2 >= m and p >= 2:
+            return 3 * p // 2
+        p *= 2
+
+
+def _beffs(c: int) -> list[int]:
+    """Effective bucket-space size per window (msb first).  The top window's
+    digits are bounded by the scalar field modulus (canonical Fr < r), so
+    its bucket space is a fraction of 2^c."""
+    W = num_windows(c)
+    top_bound = ((_fields.R - 1) >> ((W - 1) * c)) + 1
+    top = 1
+    while top < top_bound:
+        top *= 2
+    return [min(top, 1 << c)] + [1 << c] * (W - 1)
+
+
 def _digits(scalars, c: int):
-    """Canonical Fr scalars (16, N) -> (W, N) uint32 window digits,
-    most-significant window FIRST (scan runs high->low)."""
+    """Canonical Fr scalars (L, N) -> (W, N) uint32 window digits,
+    most-significant window FIRST (the combine scans high->low)."""
     s = FR.canon(scalars)
     W = num_windows(c)
     out = []
@@ -78,22 +127,31 @@ def _digits(scalars, c: int):
     return jnp.stack(out)
 
 
-def _max_bucket_count(digits):
-    """Max count of any (window, nonzero-digit) bucket, as a device scalar."""
+def _max_bucket_counts(digits, c: int):
+    """Per-row max count of any nonzero-digit bucket: (R, N) -> (R,) int32.
+    Rows are windows (or window x point-chunk pairs when re-measuring for
+    a chunked dispatch)."""
+    B = 1 << c
 
     def body(carry, d):
-        counts = jnp.zeros((1 << 16,), jnp.int32).at[d.astype(jnp.int32)].add(1)
+        counts = jnp.zeros((B,), jnp.int32).at[d.astype(jnp.int32)].add(1)
         counts = counts.at[0].set(0)
-        return jnp.maximum(carry, counts.max()), 0.0
+        return carry, counts.max()
 
-    m, _ = jax.lax.scan(body, jnp.int32(0), digits)
-    return m
+    _, ms = jax.lax.scan(body, 0, digits)
+    return ms
 
 
-def _pippenger(points: cv.PointVec, digits, c: int, pad: int) -> cv.PointVec:
-    """Static-shape Pippenger given digits (W, N) and bucket padding."""
+def _pippenger(points: cv.PointVec, digits, c: int, pad: int, beff: int | None = None) -> cv.PointVec:
+    """Fused Pippenger over a (group of) window(s): ONE dispatch.
+
+    lax.scan over the windows (msb first); the body sorts the digits,
+    scatters points into a (beff x pad) matrix, tree-reduces the pad axis,
+    applies bucket weights via a suffix scan, reduces to the window's
+    single point, and Horner-carries: acc <- 2^c * acc + W_w.
+    Returns sum_w 2^(c*(k-1-w)) * W_w for the k windows given."""
     W, N = digits.shape
-    B = 1 << c
+    B = beff or (1 << c)
     ident = cv.identity((B * pad,))
 
     def window_body(acc, d):
@@ -109,7 +167,7 @@ def _pippenger(points: cv.PointVec, digits, c: int, pad: int) -> cv.PointVec:
             ident.z.at[:, idx].set(pts.z),
         )
         M = cv.PointVec(*(a.reshape(L, B, pad) for a in M))
-        S = cv.sum_points(M, axis=1)  # (16, B): bucket sums
+        S = cv.sum_points(M, axis=1)  # (L, B): bucket sums
         # suffix sums SS_b = sum_{j>=b} S_j; weighted sum = sum_{b>=1} SS_b
         T = S
         sh = 1
@@ -128,16 +186,220 @@ def _pippenger(points: cv.PointVec, digits, c: int, pad: int) -> cv.PointVec:
     return acc
 
 
-def _bucket_sums_chunk(points: cv.PointVec, digits, c: int, pad: int):
-    """Stage 1 (per chunk): bucket sums for a chunk of windows, with the
-    window axis as a real vectorized array axis - NO loop.  (Wc, N) digits
-    -> (Wc, L, B) sums.
+def _shift_add(acc: cv.PointVec, part: cv.PointVec, k: int) -> cv.PointVec:
+    """acc * 2^k + part (combining window-group partials, msb first)."""
+    acc = jax.lax.fori_loop(0, k, lambda _, p: cv.pdbl(p), acc)
+    return cv.padd(acc, part)
 
-    Loop-free on purpose: lax.scan with stacked (ys) outputs of this shape
-    is one of the two miscompile triggers on the current TPU backend (see
-    module docstring); a batched kernel sidesteps it and is also the better
-    TPU program (one big scatter + one tree reduce instead of Wc small
-    ones)."""
+
+def _group_windows(pads: list[int], beffs: list[int]):
+    """Runs of consecutive windows sharing (beff, pad) -> [(w0, w1, beff, pad)]."""
+    groups = []
+    w0 = 0
+    for w in range(1, len(pads) + 1):
+        if w == len(pads) or (pads[w], beffs[w]) != (pads[w0], beffs[w0]):
+            groups.append((w0, w, beffs[w0], pads[w0]))
+            w0 = w
+    return groups
+
+
+def _grouped_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: list[int]) -> cv.PointVec:
+    """Fused-dispatch MSM: one _pippenger per window group + tiny combines."""
+    groups = _group_windows(pads, beffs)
+    acc = None
+    for w0, w1, beff, pad in groups:
+        k = cached_jit(_pippenger, "pip", c, pad, beff, w1 - w0, static_argnums=(2, 3, 4))
+        part = k(points, digits[w0:w1], c, pad, beff)
+        if acc is None:
+            acc = part
+        else:
+            sa = cached_jit(_shift_add, "sa", c * (w1 - w0), static_argnums=2)
+            acc = sa(acc, part, c * (w1 - w0))
+    return acc
+
+
+def _use_fused() -> bool:
+    """Fused single-dispatch kernels by default on TPU; the staged
+    4-dispatch pipeline elsewhere (XLA:CPU compiles the big fused scan
+    body far too slowly for the test suite).  HALO_TPU_FORCE_STAGED=1 /
+    HALO_TPU_FORCE_FUSED=1 override."""
+    if os.environ.get("HALO_TPU_FORCE_STAGED", "0") == "1":
+        return False
+    if os.environ.get("HALO_TPU_FORCE_FUSED", "0") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pads_ok(digits, c: int, pads: tuple):
+    """Device bool: every window's max nonzero bucket count fits its pad."""
+    ms = _max_bucket_counts(digits, c)
+    return jnp.all(ms <= jnp.asarray(pads, jnp.int32))
+
+
+def pinned_pads(n: int, c: int) -> list[int]:
+    """Deterministic per-window pads for n roughly-uniform scalars: mean +
+    ~6 sigma slack, doubled for the top window (its digit range is halved
+    by the modulus, so its bucket mean doubles)."""
+    base = _class_pad(max(n, 1), c)
+    return [_round_pad(2 * base)] + [base] * (num_windows(c) - 1)
+
+
+def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[int] | None = None):
+    """MSM with PINNED pads: no host round-trip before dispatch.  Returns
+    (point, ok) where ok is a DEVICE bool - False means some bucket
+    overflowed its pinned pad and the point is unreliable (the caller must
+    fall back to msm(), which measures).  Lets latency-critical callers
+    (decider/verify paths: one tunnel round trip is ~30 ms) defer every
+    fetch to a single combined sync."""
+    N = points.x.shape[1]
+    if c is None:
+        c = window_size(N)
+    if pads is None:
+        pads = pinned_pads(N, c)
+    beffs = _beffs(c)
+    if not _use_fused() or any(
+        be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)
+    ):
+        pt = msm(points, scalars, c)
+        return pt, jnp.asarray(True)
+    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+    ok = cached_jit(_pads_ok, "ok", c, tuple(pads), static_argnums=(1, 2))(digits, c, tuple(pads))
+    return _grouped_msm(points, digits, c, pads, beffs), ok
+
+
+def _measure_pads(digits, c: int, tag: str = "w") -> list[int]:
+    """Per-window max nonzero bucket counts (device -> host sync), rounded
+    to pad classes."""
+    ms = np.asarray(cached_jit(_max_bucket_counts, tag, c, static_argnums=1)(digits, c))
+    return [_round_pad(max(1, int(m))) for m in ms]
+
+
+def _measure_pad(digits, c: int, tag: str = "w") -> int:
+    return max(_measure_pads(digits, c, tag))
+
+
+def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
+    """MSM over the Pallas curve: sum_i scalars_i * points_i.
+
+    points: PointVec with batch (N,); scalars: (L, N) Fr limbs.
+    Host-orchestrated: digit extraction and per-window bucket-size
+    measurement run first (one host sync), then one fused dispatch per
+    window group (see module docstring).  Returns a single projective
+    point (batch ()).
+    """
+    N = points.x.shape[1]
+    assert scalars.shape == (L, N)
+    if c is None:
+        c = window_size(N)
+    B = 1 << c
+    W = num_windows(c)
+
+    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+    pads = _measure_pads(digits, c)
+    beffs = _beffs(c)
+
+    fits = all(be * p <= _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads))
+    if fits and _use_fused():
+        return _grouped_msm(points, digits, c, pads, beffs)
+
+    pad = max(pads)
+    if B * pad <= _SCATTER_BUDGET_COLS:
+        S = _bucket_sums(points, digits, c, pad)
+    else:
+        # One window's scatter matrix exceeds the budget: chunk the POINTS
+        # and combine per-chunk bucket sums with complete adds.  Per-chunk
+        # pads are re-measured so skewed digit distributions only increase
+        # the chunk count, never the memory (ADVICE.md round 1, medium).
+        K = 2
+        while True:
+            points, scalars = _pad_points(points, scalars, K)
+            if points.x.shape[1] != digits.shape[1]:
+                digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+            Np = digits.shape[1]
+            Nc = Np // K
+            dk = digits.reshape(W * K, Nc)
+            padk = _measure_pad(dk, c, "k")
+            if B * padk <= _SCATTER_BUDGET_COLS or Nc == 1:
+                break
+            if K >= 64 and c > 3:
+                # pathologically skewed digits (e.g. near-constant scalars):
+                # restart with tiny windows so B*pad is bounded by 8*Nc.
+                return msm(points, scalars, c=3)
+            K *= 2
+        S = None
+        comb = cached_jit(_combine_sums, "cs")
+        for k in range(K):
+            lo, hi = k * Nc, (k + 1) * Nc
+            pk = cv.PointVec(*(a[:, lo:hi] for a in points))
+            Sk = _bucket_sums(pk, digits[:, lo:hi], c, padk)
+            S = Sk if S is None else comb(S, Sk)
+
+    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(S, c)
+    r = cached_jit(_window_reduce, "wr")(t)
+    return cached_jit(_horner_combine, "hc", c, static_argnums=1)(r, c)
+
+
+# ---------------------------------------------------------------------------
+# Shape-classed MSM for the IPA open inner loop (pcdl.open_).
+#
+# open() issues 2 MSMs per fold round at widths n/2, n/4, ..., 1.  Exact
+# shapes would compile a fresh fused kernel per (width, pad) pair - tens of
+# multi-second XLA compiles per degree.  Instead the width is padded to a
+# factor-4 ladder (identity points / zero scalars are near-free: zero digits
+# land in the dump bucket) and the pad is pinned per class to a deterministic
+# value covering the class's worst expected bucket count, so the whole lg(n)
+# fold loop reuses O(log_4 n) compiled kernels.  The measured pad still wins
+# if a skewed input exceeds the class pad (correctness never depends on the
+# heuristic).
+
+_CLASS_MIN = 128
+
+
+def _width_class(m: int) -> int:
+    cls = _CLASS_MIN
+    while cls < m:
+        cls *= 4
+    return cls
+
+
+def _class_pad(cls: int, c: int) -> int:
+    """Deterministic pad covering the max bucket count of cls uniform digits
+    over 2^c - 1 nonzero buckets with ample slack (mean + ~6 sigma)."""
+    mean = max(1, cls >> c)
+    return _round_pad(mean + 6 * int(np.sqrt(mean)) + 8)
+
+
+def msm_classed(points: cv.PointVec, scalars) -> cv.PointVec:
+    """MSM with width padded to the class ladder and pinned pad classes."""
+    if not _use_fused():
+        return msm(points, scalars)
+    m = points.x.shape[1]
+    cls = _width_class(m)
+    c = 5
+    points, scalars = _pad_points(points, scalars, cls)
+    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+    base = _class_pad(cls, c)
+    pads = [max(base, p) for p in _measure_pads(digits, c, "cl")]
+    # pin the rest-window pads to one class; the top window (halved digit
+    # range -> doubled mean) keeps its own
+    rest = max(pads[1:]) if len(pads) > 1 else pads[0]
+    pads = [max(pads[0], _round_pad(2 * base))] + [rest] * (len(pads) - 1)
+    beffs = _beffs(c)
+    if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
+        return msm(points, scalars)  # absurdly skewed: full path with chunking
+    return _grouped_msm(points, digits, c, pads, beffs)
+
+
+# ---------------------------------------------------------------------------
+# Staged pipeline (4 separate dispatches): memory-chunked fallback and the
+# building blocks of the sharded MSM (parallel/msm_sharded.py).
+
+
+def _bucket_sums_chunk(points: cv.PointVec, digits, c: int, pad: int):
+    """Staged stage 1 (per window group): bucket sums with the window axis
+    as a real vectorized array axis - NO loop.  (Wc, N) digits ->
+    (Wc, L, B).  Scatter indices are (window, column) pairs, never a
+    flattened int32 product, so index arithmetic cannot overflow."""
     Wc, N = digits.shape
     B = 1 << c
     order = jnp.argsort(digits, axis=1)
@@ -148,49 +410,48 @@ def _bucket_sums_chunk(points: cv.PointVec, digits, c: int, pad: int):
     first = jax.vmap(lambda row: jnp.searchsorted(row, row, side="left"))(sd)
     rank = jnp.arange(N, dtype=first.dtype)[None, :] - first
     col = sd.astype(jnp.int32) * pad + jnp.minimum(rank, pad - 1).astype(jnp.int32)
-    idx = (jnp.arange(Wc, dtype=jnp.int32)[:, None] * (B * pad) + col).reshape(Wc * N)
-    ident = cv.identity((Wc * B * pad,))
+    widx = jnp.broadcast_to(jnp.arange(Wc, dtype=jnp.int32)[:, None], (Wc, N)).reshape(Wc * N)
+    colf = col.reshape(Wc * N)
+    ident = cv.identity((Wc, B * pad))
     M = cv.PointVec(
-        ident.x.at[:, idx].set(pts.x),
-        ident.y.at[:, idx].set(pts.y),
-        ident.z.at[:, idx].set(pts.z),
+        ident.x.at[:, widx, colf].set(pts.x),
+        ident.y.at[:, widx, colf].set(pts.y),
+        ident.z.at[:, widx, colf].set(pts.z),
     )
     M = cv.PointVec(*(a.reshape(L, Wc, B, pad) for a in M))
     S = cv.sum_points(M, axis=2)  # (L, Wc, B)
     return tuple(jnp.moveaxis(a, 0, 1) for a in S)  # (Wc, L, B)
 
 
-# scratch budget for the stage-1 scatter matrix, in point columns
-# (chunk * B * pad).  The real memory unit is the padd tree-reduce's fused
-# multiply temporaries - (18, 6, cols/2) uint32 stacks, ~216 bytes/column
-# with up to ~20 live at once - so 2^18 columns keeps peak HBM ~1 GB.
-_SCATTER_BUDGET_COLS = 1 << 18
-
-
 def _bucket_sums(points: cv.PointVec, digits, c: int, pad: int):
-    """Stage 1: per-window bucket sums, (W, N) digits -> (W, L, B), chunked
-    over windows to bound the scatter scratch matrix."""
+    """Staged stage 1: per-window bucket sums, (W, N) digits -> (W, L, B),
+    grouping windows per dispatch to stay inside the scatter budget."""
     W, N = digits.shape
     B = 1 << c
-    chunk = max(1, min(W, _SCATTER_BUDGET_COLS // (B * pad)))
+    assert B * pad <= _SCATTER_BUDGET_COLS, "caller must chunk points first"
+    Wg = max(1, _SCATTER_BUDGET_COLS // (B * pad))
     outs = []
-    k = cached_jit(_bucket_sums_chunk, "bsc", c, pad, chunk, static_argnums=(2, 3))
-    for w0 in range(0, W - W % chunk, chunk):
-        outs.append(k(points, digits[w0 : w0 + chunk], c, pad))
-    if W % chunk:
-        ktail = cached_jit(
-            _bucket_sums_chunk, "bsc", c, pad, W % chunk, static_argnums=(2, 3)
-        )
-        outs.append(ktail(points, digits[W - W % chunk :], c, pad))
+    for w0 in range(0, W, Wg):
+        wc = min(Wg, W - w0)
+        k = cached_jit(_bucket_sums_chunk, "bsc", c, pad, wc, static_argnums=(2, 3))
+        outs.append(k(points, digits[w0 : w0 + wc], c, pad))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3))
 
 
+def _combine_sums(a, b):
+    """Complete-add two (W, L, B) partial bucket-sum stacks."""
+    A = cv.PointVec(*(jnp.moveaxis(x, 1, 0) for x in a))
+    Bv = cv.PointVec(*(jnp.moveaxis(x, 1, 0) for x in b))
+    C = cv.padd(A, Bv)
+    return tuple(jnp.moveaxis(x, 0, 1) for x in C)
+
+
 def _suffix_mask(xs, c: int):
-    """Stage 2: bucket-weight application.  Suffix sums T_b = sum_{j>=b} S_j
-    give sum_{b>=1} T_b = sum_b b*S_b; bucket 0 (the zero-digit dump) is
-    masked to the identity.  (W, L, B) -> (W, L, B)."""
+    """Staged stage 2: bucket-weight application.  Suffix sums
+    T_b = sum_{j>=b} S_j give sum_{b>=1} T_b = sum_b b*S_b; bucket 0 (the
+    zero-digit dump) is masked to the identity.  (W, L, B) -> (W, L, B)."""
     B = 1 << c
     T = cv.PointVec(*(jnp.moveaxis(a, 0, 1) for a in xs))  # (L, W, B)
     Wn = T.x.shape[1]
@@ -206,48 +467,43 @@ def _suffix_mask(xs, c: int):
     return tuple(jnp.moveaxis(a, 1, 0) for a in T)  # (W, L, B)
 
 
-def _horner_windows(xs, c: int):
-    """Stage 3: Horner over windows at full lane width.  Carry a (L, B)
-    point vector acc_{w+1} = 2^c * acc_w + T_w (doubling distributes over
-    lanes, so the final per-lane sum equals the per-window weighted sum)."""
-    B = xs[0].shape[2]
+def _window_reduce(xs):
+    """Staged stage 3: tree-reduce the bucket axis, (W, L, B) -> per-window
+    single points (L, W)."""
+    T = cv.PointVec(*(jnp.moveaxis(a, 0, 1) for a in xs))  # (L, W, B)
+    R = cv.sum_points(T, axis=1)
+    return tuple(R)  # (L, W)
+
+
+def _horner_combine(xs, c: int):
+    """Staged stage 4: Horner over windows on SINGLE points (msb window
+    first): acc <- 2^c * acc + T_w."""
+    seq = tuple(jnp.moveaxis(a, 1, 0) for a in xs)  # (W, L)
 
     def body(acc, t):
         acc = jax.lax.fori_loop(0, c, lambda _, p: cv.pdbl(p), acc)
         return cv.padd(acc, cv.PointVec(*t)), 0.0
 
-    acc, _ = jax.lax.scan(body, cv.identity((B,)), xs)
-    return tuple(acc)  # (L, B)
+    acc, _ = jax.lax.scan(body, cv.identity(()), seq)
+    return acc
 
 
-def _lane_reduce(xs):
-    """Stage 4: tree-reduce the lane axis to one projective point."""
-    return cv.sum_points(cv.PointVec(*xs), axis=0)
-
-
-def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
-    """MSM over the Pallas curve: sum_i scalars_i * points_i.
-
-    points: PointVec with batch (N,); scalars: (16, N) Fr limbs.
-    Host-orchestrated: digit extraction and bucket-size measurement run as
-    small jitted kernels, then the four Pippenger stages are dispatched
-    (staged, not fused - see module docstring).  Returns a single projective
-    point (batch ()).
-    """
+def _pad_points(points: cv.PointVec, scalars, m: int):
+    """Pad the point/scalar vectors to a multiple of m with identity points
+    and zero scalars (free: zero digits go to the dump bucket)."""
     N = points.x.shape[1]
-    assert scalars.shape == (L, N)
-    if c is None:
-        c = window_size(N)
-    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
-    maxc = int(cached_jit(_max_bucket_count)(digits))
-    pad = 1
-    while pad < maxc:
-        pad *= 2
-    pad = min(pad, N)
-    s = _bucket_sums(points, digits, c, pad)
-    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(s, c)
-    a = cached_jit(_horner_windows, "hw", c, static_argnums=1)(t, c)
-    return cached_jit(_lane_reduce, "lr")(a)
+    Np = ((N + m - 1) // m) * m
+    if Np == N:
+        return points, scalars
+    extra = Np - N
+    ident = cv.identity((extra,))
+    points = cv.PointVec(*(jnp.concatenate([a, b], axis=1) for a, b in zip(points, ident)))
+    scalars = jnp.concatenate([scalars, FR.zeros((extra,))], axis=1)
+    return points, scalars
+
+
+# ---------------------------------------------------------------------------
+# Reference-grade slow paths (independent checks) and batched row MSMs.
 
 
 def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:
@@ -272,22 +528,40 @@ def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:
 
 def msm_rows(points: cv.PointVec, scalars) -> cv.PointVec:
     """Batched independent small MSMs: points batch (B, M), scalars
-    (16, B, M) -> one point per row (batch (B,)).
+    (L, B, M) -> one point per row (batch (B,)).
 
     Used to verify many succinct checks at once: each row is one proof's
-    deferred group equation (2 lg d + 4 points).  Binary double-and-add
-    over the 255 shared bit positions with per-lane masks + a tree sum
-    over M; the whole batch advances in lockstep on the VPU.
-    """
+    deferred group equation (2 lg d + 4 points).  4-bit windowed
+    double-and-add over the 255 shared bit positions with per-lane table
+    gathers + a tree sum over M; the whole batch advances in lockstep on
+    the VPU."""
     B, M = points.x.shape[1:]
     s = FR.canon(scalars)
+    # per-lane table of 0..15 multiples: (16, L, B, M) coords
+    ident = cv.identity((B, M))
+    tab = [ident, points]
+    for j in range(2, 16):
+        tab.append(cv.padd(tab[j - 1], points))
+    table = cv.PointVec(
+        jnp.stack([t.x for t in tab]),
+        jnp.stack([t.y for t in tab]),
+        jnp.stack([t.z for t in tab]),
+    )  # (16, L, B, M)
+
+    nwin = 64  # ceil(255 / 4); top window is 3 bits
 
     def body(i, acc):
-        acc = cv.pdbl(acc)
-        bit_idx = NBITS - 1 - i
-        limb = s[bit_idx // 15]  # (B, M)
-        b = ((limb >> (bit_idx % 15).astype(jnp.uint32)) & 1).astype(jnp.bool_)
-        sel = cv.pselect(b, points, cv.identity((B, M)))
-        return cv.padd(acc, cv.sum_points(sel, axis=1))
+        acc = cv.pdbl(cv.pdbl(cv.pdbl(cv.pdbl(acc))))
+        sh = 4 * (nwin - 1 - i)
+        q, r = sh // 15, (sh % 15).astype(jnp.uint32)
+        lim = s[q]
+        nxt = jnp.where(q + 1 < L, s[jnp.minimum(q + 1, L - 1)], jnp.zeros_like(lim))
+        d = ((lim >> r) | jnp.where(r > 0, nxt << (jnp.uint32(15) - r), jnp.zeros_like(nxt))) & jnp.uint32(15)
+        T = cv.PointVec(
+            jnp.take_along_axis(table.x, d[None, None].astype(jnp.int32), axis=0)[0],
+            jnp.take_along_axis(table.y, d[None, None].astype(jnp.int32), axis=0)[0],
+            jnp.take_along_axis(table.z, d[None, None].astype(jnp.int32), axis=0)[0],
+        )
+        return cv.padd(acc, cv.sum_points(T, axis=1))
 
-    return jax.lax.fori_loop(0, NBITS, body, cv.identity((B,)))
+    return jax.lax.fori_loop(0, nwin, body, cv.identity((B,)))

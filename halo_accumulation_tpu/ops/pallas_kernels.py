@@ -1,0 +1,175 @@
+"""Pallas TPU kernels for the field/curve hot paths.
+
+XLA compiles the stacked-limb field ops (ops/field.py) into many small
+fusions with HBM round-trips between them: measured ~38 Mfm/s against a
+~670 Gop/s u32-multiply roofline (tools/tpu_mulprobe.py), i.e. >10x left
+on the table.  These kernels hand-fuse a full modular multiply / complete
+point add over a VMEM-resident tile using the list-form limb math
+(ops/limbs.py - one array per limb, no pad/concat), so every intermediate
+stays on-chip.
+
+Layout: limb arrays are reshaped (L, N) -> (L, N/128, 128) so each limb is
+a clean (sublane, lane) tile; blocks carry TN = _BLOCK_ROWS * 128 lanes.
+
+Enabled on TPU by default (HALO_TPU_PALLAS=0 disables); on CPU the kernels
+run through the Pallas interpreter for parity tests only (production CPU
+paths keep the XLA ops)."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from halo_accumulation_tpu.ops import limbs
+from halo_accumulation_tpu.ops.field import FQ, L
+
+try:  # pallas TPU backend (interpreter elsewhere)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover - pallas always importable in jax>=0.4
+    HAVE_PALLAS = False
+
+_LF = limbs.ListField(FQ)
+
+
+def _block_rows() -> int:
+    """8 x 128 lanes per grid step on TPU; 1 x 128 under the (slow) CPU
+    interpreter so parity tests stay fast."""
+    return 8 if jax.default_backend() == "tpu" else 1
+
+
+def enabled() -> bool:
+    if not HAVE_PALLAS:
+        return False
+    return os.environ.get("HALO_TPU_PALLAS", "1") != "0"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _split(ref):
+    return [ref[i] for i in range(L)]
+
+
+def _store(ref, limbs_list):
+    for i in range(L):
+        ref[i] = limbs_list[i]
+
+
+def _fmul_kernel(a_ref, b_ref, o_ref):
+    _store(o_ref, _LF.mul(_split(a_ref), _split(b_ref)))
+
+
+def _padd_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    P = padd_limbs((_split(x1), _split(y1), _split(z1)), (_split(x2), _split(y2), _split(z2)))
+    _store(ox, P[0])
+    _store(oy, P[1])
+    _store(oz, P[2])
+
+
+def padd_limbs(P1, P2):
+    return limbs.padd_list(_LF, P1, P2)
+
+
+def _tile(a):
+    Lx, N = a.shape
+    return a.reshape(Lx, N // 128, 128)
+
+
+def _untile(a):
+    Lx, R, _ = a.shape
+    return a.reshape(Lx, R * 128)
+
+
+def _pad_lanes(arrs, tn):
+    """Zero-pad the lane axis of each (L, N) array to a multiple of tn."""
+    N = arrs[0].shape[1]
+    Np = ((N + tn - 1) // tn) * tn
+    if Np == N:
+        return arrs, N
+    return [jnp.pad(a, ((0, 0), (0, Np - N))) for a in arrs], N
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "br"))
+def _fmul_call(a3, b3, interpret: bool, br: int = 8):
+    R = a3.shape[1]
+    spec = pl.BlockSpec((L, br, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fmul_kernel,
+        out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.uint32),
+        grid=(R // br,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(a3, b3)
+
+
+def fmul(a, b):
+    """Modular multiply via one Pallas kernel: (L, N) x (L, N) -> (L, N).
+    Bit-identical to FQ.mul (tests/test_pallas.py)."""
+    br = _block_rows()
+    (a, b), N = _pad_lanes([a, b], br * 128)
+    out = _fmul_call(_tile(a), _tile(b), _interpret(), br)
+    return _untile(out)[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "br"))
+def _padd_call(arrs, interpret: bool, br: int = 8):
+    spec = pl.BlockSpec((L, br, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    R = arrs[0].shape[1]
+    shape = jax.ShapeDtypeStruct(arrs[0].shape, jnp.uint32)
+    return pl.pallas_call(
+        _padd_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(R // br,),
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(*arrs)
+
+
+def padd(P1, P2):
+    """Complete projective add via one Pallas kernel.  P1/P2: tuples of
+    (L, N) coordinate arrays; returns the same."""
+    br = _block_rows()
+    arrs, N = _pad_lanes([*P1, *P2], br * 128)
+    ox, oy, oz = _padd_call(tuple(_tile(a) for a in arrs), _interpret(), br)
+    return tuple(_untile(o)[:, :N] for o in (ox, oy, oz))
+
+
+def _pdbl_kernel(x, y, z, ox, oy, oz):
+    P = limbs.pdbl_list(_LF, (_split(x), _split(y), _split(z)))
+    _store(ox, P[0])
+    _store(oy, P[1])
+    _store(oz, P[2])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "br"))
+def _pdbl_call(arrs, interpret: bool, br: int = 8):
+    spec = pl.BlockSpec((L, br, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    R = arrs[0].shape[1]
+    shape = jax.ShapeDtypeStruct(arrs[0].shape, jnp.uint32)
+    return pl.pallas_call(
+        _pdbl_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(R // br,),
+        in_specs=[spec] * 3,
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(*arrs)
+
+
+def pdbl(P):
+    """Complete projective double via one Pallas kernel."""
+    br = _block_rows()
+    arrs, N = _pad_lanes(list(P), br * 128)
+    ox, oy, oz = _pdbl_call(tuple(_tile(a) for a in arrs), _interpret(), br)
+    return tuple(_untile(o)[:, :N] for o in (ox, oy, oz))
+
+

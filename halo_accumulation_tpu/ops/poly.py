@@ -2,7 +2,7 @@
 
 Replaces ark-poly's DensePolynomial usage (/root/reference/code/src/pcdl.rs
 evaluate/+/*; acc.rs:85-106).  Coefficient vectors live on device as
-(16, n) Fr limb arrays; evaluation uses a log-depth powers construction +
+(L=18, n) Fr limb arrays; evaluation uses a log-depth powers construction +
 dot product instead of sequential Horner (Horner's n-step dependency chain
 would serialize the VPU).
 
@@ -22,7 +22,7 @@ from halo_accumulation_tpu.ops.field import FR, L
 
 
 def powers(z_limbs, n: int):
-    """[1, z, z^2, ..., z^(n-1)] as (16, n) from a (16,) scalar.
+    """[1, z, z^2, ..., z^(n-1)] as (L, n) from a (L,) scalar.
 
     Log-depth doubling: P_{2k} = [P_k, z^k * P_k]
     (mirrors construct_powers, /root/reference/code/src/group.rs:29-37)."""
@@ -36,7 +36,7 @@ def powers(z_limbs, n: int):
 
 
 def eval_poly(coeffs, z_limbs):
-    """p(z) for coeffs (16, n): dot(coeffs, powers(z, n)). Returns (16,)."""
+    """p(z) for coeffs (L, n): dot(coeffs, powers(z, n)). Returns (L,)."""
     n = coeffs.shape[1]
     pw = powers(z_limbs, n)
     return FR.sum_along(FR.mul(coeffs, pw), 0)
@@ -57,11 +57,11 @@ def add(a, b):
 
 
 def tensor_h_coeffs(xis):
-    """Coefficients of h(X) from challenges xis (16, lg_n + 1).
+    """Coefficients of h(X) from challenges xis (L, lg_n + 1).
 
     xis[:, 0] is unused in the product (matches HPoly::get_poly,
     /root/reference/code/src/pcdl.rs:56-77: the factor for X^(2^i) uses
-    xi_{lg n - i}).  Returns (16, 2^lg_n)."""
+    xi_{lg n - i}).  Returns (L, 2^lg_n)."""
     lg_n = xis.shape[1] - 1
     c = FR.from_int(1, (1,))
     for i in range(lg_n):

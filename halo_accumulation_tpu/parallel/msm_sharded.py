@@ -2,16 +2,23 @@
 
 The reference is strictly single-core (SURVEY.md section 2: no rayon/
 threads/GPU anywhere in code/src).  The TPU-native scaling axis for an MSM
-is data-parallel over points: each chip buckets and reduces its slice of
-the (points, scalars) vectors with the same static-shape Pippenger kernel
-used on one chip, producing one partial point; partials are then
-all-gathered over ICI (a few hundred bytes) and tree-added identically on
-every chip.  Group addition is not a ring reduction XLA knows, so the
+is data-parallel over points: each chip computes per-window bucket sums for
+its slice of the (points, scalars) vectors with the same staged Pippenger
+stage-1 kernel used on one chip (ops/msm.py:_bucket_sums_chunk), partial
+(W, B) bucket-sum planes are all-gathered over ICI and tree-added
+identically on every chip, and the cheap window/bucket combine stages run
+replicated.  Group addition is not a ring reduction XLA knows, so the
 combine is an explicit all_gather + local complete-add tree rather than a
 psum.
 
-Scalar vectors in this library come from polynomial coefficients, so the
-sharding is laid out on the point index: C = sum_shards sum_i s_i G_i.
+The per-window bucket-sum exchange is O(W * B) points regardless of N, so
+communication amortizes as N grows: at N = 2^20 per chip and c = 15 the
+exchange is ~120 MB against ~seconds of bucket-sum compute.
+
+Built on the staged kernels (never the fused _pippenger, which miscompiles
+on TPU at N >= 1024 - see ops/msm.py docstring and
+tools/tpu_fusion_probe.py): the shard_map body is stage 1 plus the gather
+tree, well under the empirically-safe fused-graph size.
 """
 
 from __future__ import annotations
@@ -21,7 +28,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
@@ -39,26 +45,42 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def shard_points(P: cv.PointVec, mesh: Mesh) -> cv.PointVec:
-    sh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, AXIS))
-    return cv.PointVec(*(jax.device_put(c, sh) for c in P))
+def shard_points(Pv: cv.PointVec, mesh: Mesh) -> cv.PointVec:
+    sh = NamedSharding(mesh, P(None, AXIS))
+    return cv.PointVec(*(jax.device_put(c, sh) for c in Pv))
 
 
-def _local_msm_and_combine(points, digits, c: int, pad: int):
-    """shard_map body: local Pippenger -> all_gather -> tree add."""
-    acc = msm_mod._pippenger(points, digits, c, pad)  # (16,) coords
-    stacked = jnp.stack(list(acc))  # (3, 16)
-    allp = jax.lax.all_gather(stacked, AXIS)  # (nd, 3, 16)
+def _local_sums_and_combine(points, digits, c: int, pad: int):
+    """shard_map body: local stage-1 bucket sums -> all_gather -> tree add.
+    Returns the combined (3, W, L, B) bucket-sum stack, identical on every
+    device (out_specs=P() replication)."""
+    S = msm_mod._bucket_sums_chunk(points, digits, c, pad)  # (W, L, B) x3
+    stacked = jnp.stack(S)  # (3, W, L, B)
+    allp = jax.lax.all_gather(stacked, AXIS)  # (nd, 3, W, L, B)
     nd = allp.shape[0]
-    total = cv.PointVec(allp[0, 0], allp[0, 1], allp[0, 2])
-    for i in range(1, nd):
-        total = cv.padd(total, cv.PointVec(allp[i, 0], allp[i, 1], allp[i, 2]))
-    return jnp.stack(list(total))
+    # tree-add the device axis with complete adds
+    cur = allp
+    while cur.shape[0] > 1:
+        n = cur.shape[0]
+        half = n // 2
+        lo = cv.PointVec(*(jnp.moveaxis(cur[:half, i], 2, 1) for i in range(3)))
+        hi = cv.PointVec(*(jnp.moveaxis(cur[half : 2 * half, i], 2, 1) for i in range(3)))
+        # lo/hi coords: (half, W, L, B) -> moveaxis L first? cv expects (L, *batch)
+        lo = cv.PointVec(*(jnp.moveaxis(a, 2, 0) if a.shape[0] != L else a for a in lo))
+        hi = cv.PointVec(*(jnp.moveaxis(a, 2, 0) if a.shape[0] != L else a for a in hi))
+        s = cv.padd(lo, hi)  # (L, half, W, B)
+        s = jnp.stack([jnp.moveaxis(a, 0, 2) for a in s])  # (3, half, W, L, B)
+        s = jnp.moveaxis(s, 0, 1)  # (half, 3, W, L, B)
+        if n % 2:
+            s = jnp.concatenate([s, cur[2 * half :]], axis=0)
+        cur = s
+    return cur[0]  # (3, W, L, B)
 
 
 def msm_sharded(points: cv.PointVec, scalars, mesh: Mesh, c: int | None = None) -> cv.PointVec:
     """MSM with points/scalars sharded over mesh's AXIS.  Host-orchestrated
-    like msm_mod.msm: digits + bucket-pad measurement, then one shard_map.
+    like msm_mod.msm: digits + bucket-pad measurement, then one shard_map
+    dispatch for the heavy stage plus the replicated combine stages.
     Returns a replicated single projective point."""
     N = points.x.shape[1]
     nd = mesh.devices.size
@@ -66,26 +88,30 @@ def msm_sharded(points: cv.PointVec, scalars, mesh: Mesh, c: int | None = None) 
     if c is None:
         c = msm_mod.window_size(N // nd)
     digits = cached_jit(msm_mod._digits, c, static_argnums=1)(scalars, c)
-    # pad must cover the max LOCAL bucket count; use the global max (safe).
-    maxc = int(cached_jit(msm_mod._max_bucket_count)(digits))
-    pad = 1
-    while pad < maxc:
-        pad *= 2
-    pad = min(pad, N // nd)
+    # pad must cover the max LOCAL bucket count; the global max is a safe
+    # upper bound and keeps the measurement a single kernel.
+    pad = msm_mod._measure_pad(digits, c, "sh")
+    B = 1 << c
+    assert B * pad * msm_mod.num_windows(c) <= msm_mod._SCATTER_BUDGET_COLS * 4, (
+        "sharded MSM scatter would exceed the memory budget; "
+        "shard more devices or lower c"
+    )
 
-    fn = _sharded_fn(mesh, c, pad)
-    out = fn(points, digits)
-    return cv.PointVec(out[0], out[1], out[2])
+    out = _sharded_fn(mesh, c, pad)(points, digits)  # (3, W, L, B) replicated
+    S = tuple(out[i] for i in range(3))
+    t = cached_jit(msm_mod._suffix_mask, "sm", c, static_argnums=1)(S, c)
+    r = cached_jit(msm_mod._window_reduce, "wr")(t)
+    return cached_jit(msm_mod._horner_combine, "hc", c, static_argnums=1)(r, c)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, c: int, pad: int):
-    body = functools.partial(_local_msm_and_combine, c=c, pad=pad)
-    sm = shard_map(
+    body = functools.partial(_local_sums_and_combine, c=c, pad=pad)
+    sm = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(cv.PointVec(P(None, AXIS), P(None, AXIS), P(None, AXIS)), P(None, AXIS)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sm)

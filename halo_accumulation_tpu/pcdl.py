@@ -40,10 +40,14 @@ Point = tuple | None  # host affine point: (x, y) ints or None for infinity
 
 
 def point_to_host(P: cv.PointVec) -> Point:
-    """Single projective device point -> host affine ints."""
+    """Single projective device point -> host affine ints.  ONE device
+    fetch (the remote-tunnel round trip costs ~30 ms, so the three
+    coordinates are stacked and pulled together)."""
     import jax
+    import jax.numpy as jnp
 
-    x, y, z = (np.asarray(jax.device_get(c)).astype(object) for c in P)
+    arr = np.asarray(jax.device_get(jnp.stack([P.x, P.y, P.z]))).astype(object)
+    x, y, z = arr[0], arr[1], arr[2]
     xi = sum(int(x[i]) << (W * i) for i in range(L))
     yi = sum(int(y[i]) << (W * i) for i in range(L))
     zi = sum(int(z[i]) << (W * i) for i in range(L)) % F.Q
@@ -51,6 +55,28 @@ def point_to_host(P: cv.PointVec) -> Point:
         return None
     zinv = pow(zi, -1, F.Q)
     return (xi * zinv % F.Q, yi * zinv % F.Q)
+
+
+def points_to_host(Ps: list[cv.PointVec]) -> list[Point]:
+    """Batch-convert several single device points with ONE fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.asarray(
+        jax.device_get(jnp.stack([jnp.stack([P.x, P.y, P.z]) for P in Ps]))
+    ).astype(object)
+    out = []
+    for k in range(len(Ps)):
+        x, y, z = arr[k, 0], arr[k, 1], arr[k, 2]
+        xi = sum(int(x[i]) << (W * i) for i in range(L))
+        yi = sum(int(y[i]) << (W * i) for i in range(L))
+        zi = sum(int(z[i]) << (W * i) for i in range(L)) % F.Q
+        if zi == 0:
+            out.append(None)
+            continue
+        zinv = pow(zi, -1, F.Q)
+        out.append((xi * zinv % F.Q, yi * zinv % F.Q))
+    return out
 
 
 def msm_device(points_host_or_vec, scalars_ints) -> Point:
@@ -78,7 +104,7 @@ class HPoly:
         return poly_mod.h_eval_host(self.xis, z, F.R)
 
     def coeffs_device(self):
-        """Dense coefficients (16, n) via the O(n) tensor expansion."""
+        """Dense coefficients (L, n) via the O(n) tensor expansion."""
         return poly_mod.tensor_h_coeffs(FR.from_ints(self.xis))
 
     def serialize(self) -> bytes:
@@ -134,7 +160,7 @@ class EvalProof:
 
 def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     """C = Pedersen commit of the coefficient vector over GS[0..d+1]
-    (pcdl.rs:99-110 -> pedersen.rs:6-20).  coeffs: (16, k) device array or
+    (pcdl.rs:99-110 -> pedersen.rs:6-20).  coeffs: (L, k) device array or
     list of ints, k <= d+1; implicit zero-padding to n = d+1 is free thanks
     to the MSM's zero-digit dump bucket."""
     n = d + 1
@@ -142,7 +168,7 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     assert n <= pp.n, "degree exceeds URS size"
     if isinstance(coeffs, list):
         if len(coeffs) <= 8:
-            C = host_msm(coeffs, pp.gs_host()[: len(coeffs)])
+            C = host_msm(coeffs, pp.gs_host(len(coeffs)))
             if w is not None:
                 C = H.p_add(C, H.p_mul(w, pp.s))
             return C
@@ -161,7 +187,7 @@ def _rho0_points_scalars(*parts) -> int:
 
 
 def _pad_pow2(coeffs, n: int):
-    """Zero-pad a (16, k) coefficient array so k is a power of two (<= n).
+    """Zero-pad a (L, k) coefficient array so k is a power of two (<= n).
 
     Math no-op (top coefficients zero), but it bounds the set of shapes the
     jit cache ever sees to the lg(n) power-of-two classes: every XLA:CPU
@@ -192,7 +218,7 @@ def open_(
 ) -> EvalProof:
     """IPA opening proof (pcdl.rs:120-242).
 
-    coeffs: device (16, k) Fr coefficients of p (k-1 = deg p <= d), or host
+    coeffs: device (L, k) Fr coefficients of p (k-1 = deg p <= d), or host
     int list.  Hiding iff w is not None."""
     n = d + 1
     lg_n = n.bit_length() - 1
@@ -210,7 +236,7 @@ def open_(
         # p_bar = (X - z) * q with q uniform of degree deg(p) - 1
         qc = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(k - 1)]
         qdev = FR.from_ints(qc)
-        p_bar = cached_jit(_mul_by_linear, k - 1)(qdev, zl)  # (16, k)
+        p_bar = cached_jit(_mul_by_linear, k - 1)(qdev, zl)  # (L, k)
         w_bar = int.from_bytes(rng.bytes(40), "little") % F.R
         C_bar = commit(p_bar, d, w_bar, pp)
         a = tr.rho_0(ser.ser_point(C), ser.ser_scalar(z), ser.ser_scalar(v), ser.ser_point(C_bar))
@@ -239,10 +265,13 @@ def open_(
         g_l = cv.PointVec(gs.x[:, :m], gs.y[:, :m], gs.z[:, :m])
         g_r = cv.PointVec(gs.x[:, m:], gs.y[:, m:], gs.z[:, m:])
         dot_l, dot_r = cached_jit(_round_dots, m)(cs[:, :m], cs[:, m:], zs[:, :m], zs[:, m:])
-        Lp = msm_mod.msm(g_l, cs[:, m:])
-        Rp = msm_mod.msm(g_r, cs[:, :m])
-        Lh = H.p_add(point_to_host(Lp), H.p_mul(int(FR.to_ints(dot_l)), H_prime))
-        Rh = H.p_add(point_to_host(Rp), H.p_mul(int(FR.to_ints(dot_r)), H_prime))
+        Lp = msm_mod.msm_classed(g_l, cs[:, m:])
+        Rp = msm_mod.msm_classed(g_r, cs[:, :m])
+        # one fetch for both points and both dot products (tunnel latency)
+        Lph, Rph = points_to_host([Lp, Rp])
+        dl, dr = (int(v) for v in FR.to_ints(jnp.stack([dot_l, dot_r], axis=1)))
+        Lh = H.p_add(Lph, H.p_mul(dl, H_prime))
+        Rh = H.p_add(Rph, H.p_mul(dr, H_prime))
         Ls.append(Lh)
         Rs.append(Rh)
         xi_next = tr.rho_0(ser.ser_scalar(xi), ser.ser_point(Lh), ser.ser_point(Rh))
@@ -260,7 +289,7 @@ def open_(
 
 
 def _mul_by_linear(q, zl):
-    """(X - z) * q(X) given q coeffs (16, k): result (16, k+1)."""
+    """(X - z) * q(X) given q coeffs (L, k): result (L, k+1)."""
     import jax.numpy as jnp
 
     zero = FR.zeros((1,))
@@ -357,18 +386,25 @@ def succinct_check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.P
     return res
 
 
-def succinct_check_batch(checks, pp: pp_mod.PublicParams):
-    """Verify many succinct checks in ONE device call.
+def succinct_check_batch_device(checks, pp: pp_mod.PublicParams, mesh=None, axis: str | None = None):
+    """Host transcript replays + ONE batched device row-MSM dispatch,
+    WITHOUT fetching the verdict (the tunnel round trip is ~30 ms; callers
+    combine the ok vector with other device checks into a single sync).
 
-    checks: list of (C, d, z, v, pi) with equal d.  Returns [(HPoly, U)];
-    raises ValueError (with the failing index) if any check rejects."""
+    Returns (parts, ok_device) where parts[b] = (HPoly, pts, scs) and
+    ok_device is a (B',) device bool vector (B' >= len(checks); padding
+    rows are all-identity and trivially true)."""
     parts = [succinct_check_parts(C, d, z, v, pi, pp) for (C, d, z, v, pi) in checks]
     M = max(len(p[1]) for p in parts)
-    # pad the batch axis to a power of two with all-identity rows (which
-    # trivially pass) so the jit cache sees lg-bounded shape classes
+    # pad the batch axis to a power of two (and a mesh multiple) with
+    # all-identity rows (which trivially pass) so the jit cache sees
+    # lg-bounded shape classes
     B = 1
     while B < len(parts):
         B *= 2
+    if mesh is not None:
+        nd = mesh.devices.size
+        B = nd * ((B + nd - 1) // nd)
     pts_rows, scs_rows = [], []
     for _, pts, scs in parts:
         pad = M - len(pts)
@@ -380,9 +416,30 @@ def succinct_check_batch(checks, pp: pp_mod.PublicParams):
     P = cv.from_affine_ints([p for row in pts_rows for p in row])
     P = cv.PointVec(*(a.reshape(L, B, M) for a in P))
     s = FR.from_ints([x for row in scs_rows for x in row]).reshape(L, B, M)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(None, axis, None))
+        P = cv.PointVec(*(jax.device_put(a, sh) for a in P))
+        s = jax.device_put(s, sh)
     R = cached_jit(_rows_and_isinf, B, M)(P, s)
+    return parts, R
+
+
+def succinct_check_batch(checks, pp: pp_mod.PublicParams, mesh=None, axis: str | None = None):
+    """Verify many succinct checks in ONE device call.
+
+    checks: list of (C, d, z, v, pi) with equal d.  Returns [(HPoly, U)];
+    raises ValueError (with the failing index) if any check rejects.
+
+    mesh/axis: optional jax Mesh + axis name to shard the instance-batch
+    axis across devices (the "data parallel" analog, SURVEY.md section 2:
+    the reference's serial `for q in qs` loop at acc.rs:158-166).  Rows are
+    independent, so GSPMD runs the batched row-MSM with zero collectives."""
+    parts, R = succinct_check_batch_device(checks, pp, mesh, axis)
     ok = np.asarray(R)
-    for b in range(B):
+    for b in range(len(parts)):
         if not ok[b]:
             raise ValueError(f"C_(log_n) != CM.Commit_Sigma(c || v') (batch index {b})")
     return [(p[0], checks[b][4].U) for b, p in enumerate(parts)]
@@ -393,10 +450,47 @@ def _rows_and_isinf(P, s):
     return cv.is_identity(R)
 
 
+def commit_device(coeffs, d: int, pp: pp_mod.PublicParams):
+    """Non-hiding commit staying ON DEVICE: returns (point, ok_flag) where
+    ok_flag is the pinned-pad validity bool (see msm_flagged).  No host
+    sync: latency-critical verify paths combine flags into one fetch."""
+    n = d + 1
+    assert n & (n - 1) == 0 and n <= pp.n
+    coeffs = _pad_pow2(coeffs, n)
+    k = coeffs.shape[1]
+    return msm_mod.msm_flagged(pp.gs_points(k), coeffs)
+
+
+def check_device(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
+    """Full check (pcdl.rs:323-342) with the verdict left ON DEVICE: one
+    bool combining the succinct row equation, the deferred
+    U == Commit(h coeffs) equality, and the pinned-pad validity flag.
+    Raises ValueError on host-checkable malformations (proof length)."""
+    import jax.numpy as jnp
+
+    h, pts, scs = succinct_check_parts(C, d, z, v, pi, pp)
+    M = len(pts)
+    P = cv.from_affine_ints(pts)
+    P = cv.PointVec(*(a.reshape(L, 1, M) for a in P))
+    s = FR.from_ints(scs).reshape(L, 1, M)
+    ok_row = cached_jit(_rows_and_isinf, 1, M)(P, s)[0]
+    hc = cached_jit(_h_coeffs, len(h.xis))(FR.from_ints(h.xis))
+    comm, flag = commit_device(hc, d, pp)
+    Uv = cv.from_affine_ints([pi.U])
+    U_single = cv.PointVec(Uv.x[:, 0], Uv.y[:, 0], Uv.z[:, 0])
+    ok_eq = cached_jit(cv.peq)(comm, U_single)
+    return ok_row & ok_eq & flag
+
+
 def check(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):
     """Full check (pcdl.rs:323-342): succinct check + the deferred n-MSM
-    U == Commit(h coefficients)."""
-    h, U = succinct_check(C, d, z, v, pi, pp)
+    U == Commit(h coefficients).  Fast path: one device dispatch chain +
+    ONE fetch; on failure, re-verifies through the measured-pad path to
+    rule out a pinned-pad overflow before rejecting."""
+    ok = check_device(C, d, z, v, pi, pp)
+    if bool(np.asarray(ok)):
+        return
+    h, U = succinct_check(C, d, z, v, pi, pp)  # raises if the row check fails
     hc = cached_jit(_h_coeffs, len(h.xis))(FR.from_ints(h.xis))
     comm = commit(hc, d, None, pp)
     if comm != U:

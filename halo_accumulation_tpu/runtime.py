@@ -33,6 +33,11 @@ _MAP_COUNT_TARGET = 1 << 20
 
 
 def _raise_map_count_limit():
+    """System-wide, persistent host mutation - only performed when opted in
+    via HALO_TPU_RAISE_MAP_COUNT=1 (same class of requirement as
+    Elasticsearch/mongod), and logged when it happens."""
+    if os.environ.get("HALO_TPU_RAISE_MAP_COUNT", "0") != "1":
+        return
     path = "/proc/sys/vm/max_map_count"
     try:
         with open(path) as f:
@@ -41,6 +46,12 @@ def _raise_map_count_limit():
             return
         with open(path, "w") as f:
             f.write(str(_MAP_COUNT_TARGET))
+        import sys
+
+        print(
+            f"halo_accumulation_tpu: raised vm.max_map_count {cur} -> {_MAP_COUNT_TARGET}",
+            file=sys.stderr,
+        )
     except (OSError, ValueError):
         pass
 
@@ -55,8 +66,12 @@ def init(platform: str | None = None):
     plat = platform or os.environ.get("HALO_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    # namespace the persistent cache by backend: artifacts compiled by the
+    # remote-tunnel service carry different host CPU features than this
+    # machine, and loading them cross-machine is at best noisy
+    cache_dir = os.path.join(_CACHE_DIR, jax.default_backend())
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     _initialized = True

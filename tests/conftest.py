@@ -14,6 +14,9 @@ if "backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["HALO_TPU_PLATFORM"] = "cpu"
+# long XLA:CPU pytest sessions JIT-map thousands of code sections; opt in to
+# the vm.max_map_count raise (no-op without privileges)
+os.environ.setdefault("HALO_TPU_RAISE_MAP_COUNT", "1")
 
 from halo_accumulation_tpu import runtime
 

@@ -54,6 +54,59 @@ def test_msm_adversarial(rng):
     assert run_msm(pts2, s_edge) == F.p_msm(s_edge[:4], pts2[:4])
 
 
+def test_msm_chunked_paths(rng, monkeypatch):
+    """Force the point-chunking and window-group paths with a tiny scatter
+    budget; results must still match the oracle (covers the round-1 tail
+    bug and the ADVICE.md budget-overrun finding)."""
+    n = 96  # non-power-of-two: exercises _pad_points inside the chunk path
+    pts = rand_points(rng, n)
+    ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
+    monkeypatch.setattr(msm, "_SCATTER_BUDGET_COLS", 64)
+    assert run_msm(pts, ss, c=3) == F.p_msm(ss, pts)
+    monkeypatch.setattr(msm, "_SCATTER_BUDGET_COLS", 256)
+    assert run_msm(pts, ss, c=3) == F.p_msm(ss, pts)
+
+
+def test_msm_fused_matches(rng, monkeypatch):
+    """The fused single-dispatch path (TPU default) == oracle on CPU too."""
+    monkeypatch.setenv("HALO_TPU_FORCE_FUSED", "1")
+    n = 64
+    pts = rand_points(rng, n)
+    ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
+    assert run_msm(pts, ss, c=4) == F.p_msm(ss, pts)
+    # flagged variant: pinned pads, device ok flag must be True for
+    # uniform scalars, and the point must match
+    P = cv.from_affine_ints(pts)
+    s = FR.from_ints(ss)
+    R, ok = msm.msm_flagged(P, s, c=4)
+    assert bool(np.asarray(ok))
+    assert run_point(R) == F.p_msm(ss, pts)
+
+
+def test_msm_classed(rng):
+    """Shape-classed MSM (open()'s inner-loop variant) vs oracle at widths
+    off the class ladder."""
+    for n in (5, 100, 130):
+        pts = rand_points(rng, n)
+        ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
+        P = cv.from_affine_ints(pts)
+        s = FR.from_ints(ss)
+        R = msm.msm_classed(P, s)
+        got = run_point(R)
+        assert got == F.p_msm(ss, pts)
+
+
+def run_point(R):
+    import numpy as _np
+
+    from halo_accumulation_tpu.ops.field import FQ
+
+    x, y, inf = cv.to_affine(cv.PointVec(R.x[:, None], R.y[:, None], R.z[:, None]))
+    if bool(_np.asarray(inf)[0]):
+        return None
+    return (int(FQ.to_ints(x)[0]), int(FQ.to_ints(y)[0]))
+
+
 def test_msm_naive_matches(rng):
     n = 16
     pts = rand_points(rng, n)

@@ -55,6 +55,24 @@ def test_check_e2e(rng, pp, hiding, n):
         pcdl.succinct_check(C, d, z, v, bad, pp)
 
 
+@pytest.mark.slow
+def test_check_e2e_1024(rng):
+    """One d+1 = 2^10 end-to-end (larger than the reference's test degrees,
+    pcdl.rs:441-461 caps at 2^9): exercises the width-class ladder of the
+    open() inner loop and the multi-group MSM at a realistic size."""
+    pp1k = pp_mod.get_pp(1024, use_disk_cache=False)
+    d = 1023
+    p = rand_fr(rng, 700)  # deg 699: pads through non-pow2 width classes
+    w = rand_fr(rng, 1)[0]
+    C = pcdl.commit(p, d, w, pp1k)
+    z = rand_fr(rng, 1)[0]
+    v = eval_host(p, z)
+    pi = pcdl.open_(rng, p, C, d, z, w, pp1k)
+    pcdl.check(C, d, z, v, pi, pp1k)
+    with pytest.raises(ValueError):
+        pcdl.check(C, d, z, (v + 1) % F.R, pi, pp1k)
+
+
 def test_u_equals_h_commit(rng, pp):
     """U returned by open == commit(h coefficients) (the decider identity,
     pcdl.rs:382-438)."""

@@ -60,7 +60,7 @@ def test_gs_match_reference(consts_text, tmp_path):
     assert len(affs) == 16384
     pp_mod.CACHE_DIR = tmp_path  # don't pollute the repo cache with n=64
     pp = pp_mod.get_pp(n, use_disk_cache=False)
-    gs = pp.gs_host()
+    gs = pp.gs_host(n)
     for i in range(n):
         want = tuple(F.from_ark_montgomery(g, F.Q) for g in affs[i])
         assert gs[i] == want, f"G_{i} mismatch"

@@ -1,0 +1,115 @@
+"""TPU fused-graph miscompile probe / reproducer.
+
+Round-1 finding (commit f74c5b8): on the TPU backend, a single jitted
+program containing the fused Pippenger pipeline (scatter -> pad tree-reduce
+-> suffix scan -> lane reduce, ~25 point-add-equivalents) returns stable
+off-curve garbage at N >= 1024, while each <= 17-op subgraph of it, run
+alone, is bit-correct, and the identical program is correct on XLA:CPU.
+The production MSM therefore runs as four modest dispatches (ops/msm.py).
+
+This script probes the boundary so the workaround can be pinned (or lifted
+when the backend is fixed).  It builds a random point vector, computes the
+true sum with the pure-python oracle, and then evaluates jitted programs of
+increasing point-op depth, comparing each against the oracle:
+
+  probe(k): tree-reduce N points to one (lg N padds) then k extra pdbl.
+  pip(N):   the full fused _pippenger at N (the round-1 failing shape).
+
+Usage:  python tools/tpu_fusion_probe.py [--n 1024] [--max-extra 64]
+Prints one line per configuration: OK / MISMATCH.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--max-extra", type=int, default=64)
+    ap.add_argument("--pippenger", action="store_true", help="also run the fused _pippenger repro")
+    args = ap.parse_args()
+
+    from halo_accumulation_tpu import runtime
+
+    runtime.init()
+    import jax
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu import fields as F
+    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
+    from halo_accumulation_tpu.ops.field import FR
+
+    print(f"backend={jax.default_backend()} n={args.n}", file=sys.stderr)
+
+    N = args.n
+    rng = np.random.default_rng(11)
+    # points: k_i * G via host oracle
+    ks = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(N)]
+    pts = [F.p_mul(k, (F.G_X, F.G_Y)) for k in ks]
+    oracle_sum = F.p_msm([1] * N, pts)
+    P = cv.from_affine_ints(pts)
+
+    def check(name, Pdev):
+        from halo_accumulation_tpu.pcdl import point_to_host
+
+        got = point_to_host(Pdev)
+        ok = got == oracle_sum
+        print(f"{name}: {'OK' if ok else 'MISMATCH'}")
+        return ok
+
+    # depth sweep: tree reduce (lg N padds) + k extra doublings
+    lgn = N.bit_length() - 1
+    doubled_oracle = oracle_sum
+    results = []
+    for k in [0, 4, 8, 16, 32, args.max_extra]:
+        def f(Pv, k=k):
+            s = cv.sum_points(Pv, axis=0)
+            for _ in range(k):
+                s = cv.pdbl(s)
+            return s
+
+        out = jax.jit(f)(P)
+        jax.block_until_ready(out.x)
+        from halo_accumulation_tpu.pcdl import point_to_host
+
+        got = point_to_host(out)
+        want = doubled_oracle
+        for _ in range(k):
+            want = F.p_add(want, want)
+        ok = got == want
+        results.append((lgn + k, ok))
+        print(f"depth={lgn}+{k} point-ops: {'OK' if ok else 'MISMATCH'}")
+
+    if args.pippenger:
+        # the round-1 failing shape: fully fused pippenger
+        scalars = FR.from_ints(ks)
+        c = 8
+        digits = msm_mod._digits(scalars, c)
+        maxc = int(np.asarray(msm_mod._max_bucket_counts(digits, c)).max())
+        pad = 1
+        while pad < maxc:
+            pad *= 2
+        fused = jax.jit(lambda p, d: msm_mod._pippenger(p, d, c, pad))
+        out = fused(P, digits)
+        jax.block_until_ready(out.x)
+        from halo_accumulation_tpu.pcdl import point_to_host
+
+        got = point_to_host(out)
+        want = F.p_msm(ks, pts)
+        print(f"fused _pippenger N={N} c={c} pad={pad}: {'OK' if got == want else 'MISMATCH'}")
+
+    bad = [d for d, ok in results if not ok]
+    if bad:
+        print(f"MISCOMPILE present: first failing depth {min(bad)}")
+        return 1
+    print("all probes OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
