@@ -219,15 +219,33 @@ def _grouped_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: li
 
 
 def _use_fused() -> bool:
-    """Fused single-dispatch kernels by default on TPU; the staged
-    4-dispatch pipeline elsewhere (XLA:CPU compiles the big fused scan
-    body far too slowly for the test suite).  HALO_TPU_FORCE_STAGED=1 /
-    HALO_TPU_FORCE_FUSED=1 override."""
+    """The scan-over-windows fused kernel is OPT-IN (HALO_TPU_FORCE_FUSED=1):
+    with the Pallas point kernels routing cv.padd/pdbl, the batched-window
+    staged pipeline issues ~30x fewer, ~30x larger device calls and wins
+    (the fused scan pays per-window launch overhead; measured 195 ms vs
+    <institutional staged numbers in BENCH logs> at N=2^14).
+    HALO_TPU_FORCE_STAGED=1 is a no-op left for compatibility (staged is
+    the default)."""
     if os.environ.get("HALO_TPU_FORCE_STAGED", "0") == "1":
         return False
-    if os.environ.get("HALO_TPU_FORCE_FUSED", "0") == "1":
-        return True
-    return jax.default_backend() == "tpu"
+    return os.environ.get("HALO_TPU_FORCE_FUSED", "0") == "1"
+
+
+def _staged_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: list[int]) -> cv.PointVec:
+    """Staged pipeline with PER-GROUP pads: consecutive windows sharing a
+    (beff, pad) class are batched into one stage-1 dispatch (the top
+    window's doubled bucket mean no longer inflates every window's scatter
+    matrix); stages 2-4 run once over the uniform (W, L, B) stack."""
+    groups = _group_windows(pads, beffs)
+    outs = []
+    for w0, w1, beff, pad in groups:
+        outs.append(_bucket_sums(points, digits[w0:w1], c, pad))
+    S = outs[0] if len(outs) == 1 else tuple(
+        jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3)
+    )
+    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(S, c)
+    r = cached_jit(_window_reduce, "wr")(t)
+    return cached_jit(_horner_combine, "hc", c, static_argnums=1)(r, c)
 
 
 def _pads_ok(digits, c: int, pads: tuple):
@@ -257,14 +275,13 @@ def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[i
     if pads is None:
         pads = pinned_pads(N, c)
     beffs = _beffs(c)
-    if not _use_fused() or any(
-        be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)
-    ):
+    if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
         pt = msm(points, scalars, c)
         return pt, jnp.asarray(True)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
     ok = cached_jit(_pads_ok, "ok", c, tuple(pads), static_argnums=(1, 2))(digits, c, tuple(pads))
-    return _grouped_msm(points, digits, c, pads, beffs), ok
+    fn = _grouped_msm if _use_fused() else _staged_msm
+    return fn(points, digits, c, pads, beffs), ok
 
 
 def _measure_pads(digits, c: int, tag: str = "w") -> list[int]:
@@ -298,9 +315,11 @@ def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
     pads = _measure_pads(digits, c)
     beffs = _beffs(c)
 
-    fits = all(be * p <= _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads))
-    if fits and _use_fused():
-        return _grouped_msm(points, digits, c, pads, beffs)
+    fits = all((1 << c) * p <= _SCATTER_BUDGET_COLS for p in pads)
+    if fits:
+        if _use_fused():
+            return _grouped_msm(points, digits, c, pads, beffs)
+        return _staged_msm(points, digits, c, pads, beffs)
 
     pad = max(pads)
     if B * pad <= _SCATTER_BUDGET_COLS:
@@ -369,25 +388,34 @@ def _class_pad(cls: int, c: int) -> int:
     return _round_pad(mean + 6 * int(np.sqrt(mean)) + 8)
 
 
-def msm_classed(points: cv.PointVec, scalars) -> cv.PointVec:
-    """MSM with width padded to the class ladder and pinned pad classes."""
-    if not _use_fused():
-        return msm(points, scalars)
+def msm_classed(points: cv.PointVec, scalars, flags: list | None = None) -> cv.PointVec:
+    """MSM with width padded to the class ladder and PINNED pad classes -
+    no measurement round-trip at all.  If `flags` is a list, a device bool
+    ("every bucket fit its pinned pad") is appended; the caller folds all
+    flags into one deferred fetch and falls back to the measured msm() on
+    the astronomically-rare overflow (see pcdl.open_).  Without `flags`,
+    the pads are measured (one sync) and merged, so the result is always
+    valid."""
     m = points.x.shape[1]
     cls = _width_class(m)
     c = 5
     points, scalars = _pad_points(points, scalars, cls)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
     base = _class_pad(cls, c)
-    pads = [max(base, p) for p in _measure_pads(digits, c, "cl")]
-    # pin the rest-window pads to one class; the top window (halved digit
-    # range -> doubled mean) keeps its own
-    rest = max(pads[1:]) if len(pads) > 1 else pads[0]
-    pads = [max(pads[0], _round_pad(2 * base))] + [rest] * (len(pads) - 1)
+    pads = [_round_pad(2 * base)] + [base] * (num_windows(c) - 1)
+    if flags is not None:
+        flags.append(
+            cached_jit(_pads_ok, "okc", c, tuple(pads), static_argnums=(1, 2))(
+                digits, c, tuple(pads)
+            )
+        )
+    else:
+        pads = [max(p, q) for p, q in zip(pads, _measure_pads(digits, c, "cl"))]
     beffs = _beffs(c)
-    if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
+    if any((1 << c) * p > _SCATTER_BUDGET_COLS for p in pads):
         return msm(points, scalars)  # absurdly skewed: full path with chunking
-    return _grouped_msm(points, digits, c, pads, beffs)
+    fn = _grouped_msm if _use_fused() else _staged_msm
+    return fn(points, digits, c, pads, beffs)
 
 
 # ---------------------------------------------------------------------------

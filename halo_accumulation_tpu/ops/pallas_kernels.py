@@ -88,9 +88,13 @@ def _untile(a):
 
 
 def _pad_lanes(arrs, tn):
-    """Zero-pad the lane axis of each (L, N) array to a multiple of tn."""
+    """Zero-pad the lane axis of each (L, N) array to a POWER-OF-TWO
+    multiple of tn: bounds the set of kernel shapes (each distinct shape is
+    a separate Mosaic compile, ~10 s through the remote-compile tunnel)."""
     N = arrs[0].shape[1]
-    Np = ((N + tn - 1) // tn) * tn
+    Np = tn
+    while Np < N:
+        Np *= 2
     if Np == N:
         return arrs, N
     return [jnp.pad(a, ((0, 0), (0, Np - N))) for a in arrs], N

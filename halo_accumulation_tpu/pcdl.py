@@ -215,16 +215,23 @@ def open_(
     z: int,
     w: int | None,
     pp: pp_mod.PublicParams,
+    _safe: bool = False,
 ) -> EvalProof:
     """IPA opening proof (pcdl.rs:120-242).
 
     coeffs: device (L, k) Fr coefficients of p (k-1 = deg p <= d), or host
-    int list.  Hiding iff w is not None."""
+    int list.  Hiding iff w is not None.
+
+    The per-round L/R MSMs run with pinned pads and a DEFERRED validity
+    flag (one extra fetch for the whole open instead of one sync per MSM);
+    on the astronomically-rare pad overflow the proof is rebuilt through
+    the measured path (_safe=True)."""
     n = d + 1
     lg_n = n.bit_length() - 1
     assert n & (n - 1) == 0 and n <= pp.n
     if isinstance(coeffs, list):
         coeffs = FR.from_ints(coeffs)
+    orig_coeffs = coeffs  # kept for the rare _safe retry (see below)
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
 
@@ -250,7 +257,16 @@ def open_(
     xi = tr.rho_0(ser.ser_point(C_prime), ser.ser_scalar(z), ser.ser_scalar(v))
     H_prime = H.p_mul(xi, pp.h)
 
-    # initialize device vectors (pad coefficients to n)
+    # ---- the lg(n) fold rounds, FIXED-WIDTH (pcdl.rs:195-227) ------------
+    # Every round runs at static width n with a TRACED current half-width
+    # m: hi-halves are modular rolls, inactive lanes are masked to zero
+    # scalars (and dump-bucket MSM columns), so the ENTIRE ladder reuses
+    # ONE compiled round kernel + ONE pinned-pad MSM shape class.  Exact
+    # per-round shapes would compile ~2 kernels x lg(n) rounds - tens of
+    # multi-minute XLA compiles through the remote tunnel (the round-2
+    # bench killer).  The extra compute on masked lanes is ~7x the exact
+    # sum but runs on the Pallas point kernels (cheap); latency and
+    # compiles dominate the prover, not lane math.
     import jax.numpy as jnp
 
     cs = coeffs
@@ -260,13 +276,21 @@ def open_(
     gs = pp.gs_points(n)
 
     Ls, Rs = [], []
+    flags: list | None = None if _safe else []
+    pads5 = msm_mod.pinned_pads(max(n // 2, 1), 5)
+    pre = cached_jit(_open_round_pre, n)
+    fold = cached_jit(_open_round_fold, n)
     m = n // 2
     while m >= 1:
-        g_l = cv.PointVec(gs.x[:, :m], gs.y[:, :m], gs.z[:, :m])
-        g_r = cv.PointVec(gs.x[:, m:], gs.y[:, m:], gs.z[:, m:])
-        dot_l, dot_r = cached_jit(_round_dots, m)(cs[:, :m], cs[:, m:], zs[:, :m], zs[:, m:])
-        Lp = msm_mod.msm_classed(g_l, cs[:, m:])
-        Rp = msm_mod.msm_classed(g_r, cs[:, :m])
+        mm = jnp.int32(m)
+        Lscal, Rscal, gR, dot_l, dot_r = pre(gs, cs, zs, mm)
+        if _safe:
+            Lp = msm_mod.msm(gs, Lscal, c=5)
+            Rp = msm_mod.msm(gR, Rscal, c=5)
+        else:
+            Lp, f1 = msm_mod.msm_flagged(gs, Lscal, c=5, pads=pads5)
+            Rp, f2 = msm_mod.msm_flagged(gR, Rscal, c=5, pads=pads5)
+            flags.extend([f1, f2])
         # one fetch for both points and both dot products (tunnel latency)
         Lph, Rph = points_to_host([Lp, Rp])
         dl, dr = (int(v) for v in FR.to_ints(jnp.stack([dot_l, dot_r], axis=1)))
@@ -277,15 +301,71 @@ def open_(
         xi_next = tr.rho_0(ser.ser_scalar(xi), ser.ser_point(Lh), ser.ser_point(Rh))
         xi = xi_next
         xi_inv = pow(xi_next, -1, F.R)
-        fold = cached_jit(_round_fold, m)
         gs, cs, zs = fold(
-            gs, cs, zs, FR.from_ints([xi_next])[:, 0], FR.from_ints([xi_inv])[:, 0]
+            gs, cs, zs, mm, FR.from_ints([xi_next])[:, 0], FR.from_ints([xi_inv])[:, 0]
         )
         m //= 2
 
+    if flags:
+        ok = bool(np.asarray(cached_jit(_all_flags)(jnp.stack(flags))))
+        if not ok:
+            # a pinned pad overflowed somewhere: rebuild the proof through
+            # the measured MSM path (fresh prover randomness; same inputs)
+            return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True)
     U = point_to_host(cv.PointVec(gs.x[:, 0], gs.y[:, 0], gs.z[:, 0]))
     c = int(FR.to_ints(cs[:, 0]))
     return EvalProof(Ls, Rs, U, c, C_bar, w_prime)
+
+
+def _all_flags(fl):
+    import jax.numpy as jnp
+
+    return jnp.all(fl)
+
+
+def _open_round_pre(gs, cs, zs, m):
+    """Pre-fold quantities of one IPA round at fixed width n, traced m:
+
+      Lscal[i] = cs[i+m] for i < m else 0   (scalars of L = <c_hi, G_lo>)
+      Rscal[i] = cs[i]   for i < m else 0   (scalars of R = <c_lo, G_hi>)
+      gR       = G rolled by m              (points of R; extra lanes get
+                                             scalar 0 -> dump bucket)
+      dot_l    = <c_hi, z_lo>,  dot_r = <c_lo, z_hi>
+    """
+    import jax.numpy as jnp
+
+    n = cs.shape[1]
+    i = jnp.arange(n, dtype=jnp.int32)
+    hi = (i + m) % n
+    mask = (i < m)[None, :]
+    zero = FR.zeros((n,))
+    c_hi = jnp.where(mask, jnp.take(cs, hi, axis=1), zero)
+    z_hi = jnp.where(mask, jnp.take(zs, hi, axis=1), zero)
+    gR = cv.gather_points(gs, hi)
+    dot_l = FR.sum_along(FR.mul(c_hi, zs), 0)
+    dot_r = FR.sum_along(FR.mul(jnp.where(mask, cs, zero), z_hi), 0)
+    Rscal = jnp.where(mask, cs, zero)
+    return c_hi, Rscal, gR, dot_l, dot_r
+
+
+def _open_round_fold(gs, cs, zs, m, xi, xi_inv):
+    """Fold all three vectors with the round challenge (pcdl.rs:216-224) at
+    fixed width, traced m.  Lanes >= m: scalars zeroed; points become
+    valid-but-unused combinations (their MSM scalars are always 0)."""
+    import jax.numpy as jnp
+
+    n = cs.shape[1]
+    i = jnp.arange(n, dtype=jnp.int32)
+    hi = (i + m) % n
+    mask = (i < m)[None, :]
+    zero = FR.zeros((n,))
+    c_hi = jnp.take(cs, hi, axis=1)
+    z_hi = jnp.take(zs, hi, axis=1)
+    g_hi = cv.gather_points(gs, hi)
+    g_new = cv.padd(gs, cv.pmul_shared(xi, g_hi))
+    c_new = jnp.where(mask, FR.add(cs, poly_mod.scale(c_hi, xi_inv)), zero)
+    z_new = jnp.where(mask, FR.add(zs, poly_mod.scale(z_hi, xi)), zero)
+    return g_new, c_new, z_new
 
 
 def _mul_by_linear(q, zl):
@@ -301,24 +381,6 @@ def _mul_by_linear(q, zl):
 def _add_scaled(a, b, s):
     """a + s*b for coeff arrays of equal length."""
     return FR.add(a, poly_mod.scale(b, s))
-
-
-def _round_dots(c_l, c_r, z_l, z_r):
-    """One IPA round's scalar dot products <c_r, z_l>, <c_l, z_r>."""
-    dot_l = FR.sum_along(FR.mul(c_r, z_l), 0)
-    dot_r = FR.sum_along(FR.mul(c_l, z_r), 0)
-    return dot_l, dot_r
-
-
-def _round_fold(gs, cs, zs, xi, xi_inv):
-    """Fold all three vectors with the round challenge (pcdl.rs:216-224)."""
-    m = gs.x.shape[1] // 2
-    g_l = cv.PointVec(gs.x[:, :m], gs.y[:, :m], gs.z[:, :m])
-    g_r = cv.PointVec(gs.x[:, m:], gs.y[:, m:], gs.z[:, m:])
-    g_new = cv.padd(g_l, cv.pmul_shared(xi, g_r))
-    c_new = FR.add(cs[:, :m], poly_mod.scale(cs[:, m:], xi_inv))
-    z_new = FR.add(zs[:, :m], poly_mod.scale(zs[:, m:], xi))
-    return g_new, c_new, z_new
 
 
 def succinct_check_parts(C: Point, d: int, z: int, v: int, pi: EvalProof, pp: pp_mod.PublicParams):

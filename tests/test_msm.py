@@ -91,9 +91,14 @@ def test_msm_classed(rng):
         ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
         P = cv.from_affine_ints(pts)
         s = FR.from_ints(ss)
-        R = msm.msm_classed(P, s)
+        R = msm.msm_classed(P, s)  # measured-pad variant
         got = run_point(R)
         assert got == F.p_msm(ss, pts)
+    # pinned-pad + deferred-flag variant (the open() inner-loop path)
+    flags = []
+    R = msm.msm_classed(P, s, flags=flags)
+    assert flags and bool(np.asarray(flags[0]))
+    assert run_point(R) == F.p_msm(ss, pts)
 
 
 def run_point(R):

@@ -59,14 +59,26 @@ def test_pallas_fmul_parity(rng):
     assert (np.asarray(FQ.canon(got)) == np.asarray(FQ.canon(want))).all()
 
 
-def test_pallas_padd_parity(rng):
-    if not pk.HAVE_PALLAS:
-        pytest.skip("pallas unavailable")
-    n = 160
+def test_padd_pdbl_list_parity(rng):
+    """The list-form point formulas (the body of the Pallas padd/pdbl
+    kernels) == the stacked curve ops, including identity lanes.  Runs as
+    plain jnp (the Pallas interpreter is far too slow for the full padd on
+    CPU; the kernel plumbing itself is covered by test_pallas_fmul_parity
+    and on-TPU by tools/tpu_pallas_check.py)."""
+    n = 32
     P = cv.from_affine_ints(_rand_points(rng, n))
     Q = cv.from_affine_ints(_rand_points(rng, n))
-    gx, gy, gz = pk.padd((P.x, P.y, P.z), (Q.x, Q.y, Q.z))
-    got = cv.PointVec(gx, gy, gz)
+    LF = limbs.ListField(FQ)
+    tolist = lambda a: [a[i] for i in range(L)]  # noqa: E731
+    gx, gy, gz = limbs.padd_list(
+        LF,
+        (tolist(P.x), tolist(P.y), tolist(P.z)),
+        (tolist(Q.x), tolist(Q.y), tolist(Q.z)),
+    )
+    got = cv.PointVec(jnp.stack(gx), jnp.stack(gy), jnp.stack(gz))
     want = cached_jit(cv.padd)(P, Q)
-    eq = cached_jit(cv.peq)(got, want)
-    assert bool(np.asarray(eq).all())
+    assert bool(np.asarray(cached_jit(cv.peq)(got, want)).all())
+    dx, dy, dz = limbs.pdbl_list(LF, (tolist(P.x), tolist(P.y), tolist(P.z)))
+    got = cv.PointVec(jnp.stack(dx), jnp.stack(dy), jnp.stack(dz))
+    want = cached_jit(cv.pdbl)(P)
+    assert bool(np.asarray(cached_jit(cv.peq)(got, want)).all())
