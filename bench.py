@@ -20,8 +20,10 @@ Fallbacks: if a chain bench cannot run, the headline falls back to the MSM
 metric so the driver always gets a parsable line.
 
 Env knobs: HALO_BENCH_MSM_POW (default 20, 0 disables), HALO_BENCH_SMALL=0
-disables the 512 grid row, HALO_BENCH_N / HALO_BENCH_K override the headline
-chain, HALO_BENCH_REPS timing repetitions (default 3).
+disables the small grid rows, HALO_BENCH_GRID=1 runs the full K=10 row set
+n in {512..8192} (plus the 16384 headline), HALO_BENCH_N / HALO_BENCH_K
+override the headline chain, HALO_BENCH_REPS timing repetitions (default 3),
+HALO_BENCH_DEADLINE seconds (default 2700).
 """
 
 from __future__ import annotations
@@ -136,6 +138,51 @@ def bench_msm(pow2: int, reps: int, side: dict):
     return pts_per_s, dt
 
 
+def bench_h(side: dict, n: int = 256, k: int = 16):
+    """HPoly micro-benches mirroring /root/reference/code/benches/h.rs:14-123
+    (N=256, K=16): log-time h.eval vs naive dense evaluation, plus the dense
+    expansion (get_poly).  The reference publishes no numbers for these
+    (BASELINE.md), so they are side metrics quantifying the log-eval trick."""
+    import jax
+
+    from halo_accumulation_tpu import fields as F
+    from halo_accumulation_tpu.ops import poly as poly_mod
+    from halo_accumulation_tpu.ops.field import FR
+    from halo_accumulation_tpu.runtime import cached_jit
+
+    rng = np.random.default_rng(11)
+    lg_n = n.bit_length() - 1
+    xis = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(lg_n + 1)]
+    zs = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(k)]
+
+    # h_eval: O(lg n) host evaluation (HPoly::eval, pcdl.rs:79-91)
+    t0 = time.perf_counter()
+    for z in zs:
+        poly_mod.h_eval_host(xis, z, F.R)
+    dt = (time.perf_counter() - t0) / k
+    side["h_eval_us"] = round(dt * 1e6, 2)
+
+    # h_get_poly: dense O(n) tensor expansion on device (vs the reference's
+    # serial poly-mult chain, pcdl.rs:56-77)
+    xis_dev = FR.from_ints(xis)
+    fn = cached_jit(poly_mod.tensor_h_coeffs, lg_n)
+    jax.block_until_ready(fn(xis_dev))
+    dt = time_best(lambda: jax.block_until_ready(fn(xis_dev)), 3)
+    side["h_get_poly_ms"] = round(dt * 1e3, 3)
+
+    # h_eval_naive: dense n-coefficient evaluation on device (h.rs:46-60)
+    coeffs = fn(xis_dev)
+    zl = FR.from_ints([zs[0]])[:, 0]
+    ev = cached_jit(poly_mod.eval_poly, n)
+    jax.block_until_ready(ev(coeffs, zl))
+    dt = time_best(lambda: jax.block_until_ready(ev(coeffs, zl)), 3)
+    side["h_eval_naive_ms"] = round(dt * 1e3, 3)
+    log(
+        f"h benches (n={n}, k={k}): eval {side['h_eval_us']} us, "
+        f"get_poly {side['h_get_poly_ms']} ms, naive eval {side['h_eval_naive_ms']} ms"
+    )
+
+
 def bench_chain(n: int, k: int, reps: int, side: dict):
     """Build a k-step chain at d+1 = n, then time fast + slow verification.
     Chain construction (prover work) is setup, exactly like the reference
@@ -147,8 +194,17 @@ def bench_chain(n: int, k: int, reps: int, side: dict):
     pp = pp_mod.get_pp(n)
     rng = np.random.default_rng(7)
     t0 = time.time()
-    d, qss, accs = chain.build_chain(rng, n, k, pp)
-    log(f"chain n={n} k={k} built in {time.time()-t0:.1f}s")
+    cache = os.path.join(
+        os.environ.get("HALO_BENCH_CHAIN_CACHE", ".chain_cache"), f"chain_{n}_{k}.bin"
+    )
+    if os.environ.get("HALO_BENCH_CHAIN_CACHE") != "0" and os.path.exists(cache):
+        d, qss, accs = chain.load_chain(cache)
+        log(f"chain n={n} k={k} loaded from cache in {time.time()-t0:.1f}s")
+    else:
+        d, qss, accs = chain.build_chain(rng, n, k, pp)
+        log(f"chain n={n} k={k} built in {time.time()-t0:.1f}s")
+        if os.environ.get("HALO_BENCH_CHAIN_CACHE") != "0":
+            chain.save_chain(cache, d, qss, accs)
 
     # fast path (headline semantics)
     t0 = time.time()
@@ -224,14 +280,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"cross-check failed to run: {type(e).__name__}: {e}")
 
-    if os.environ.get("HALO_BENCH_SMALL", "1") != "0" and remaining() > 600:
-        try:
-            bench_chain(512, 10, reps, side)
-        except Exception as e:  # noqa: BLE001 - bench must always emit JSON
-            import traceback
+    try:
+        bench_h(side)
+    except Exception as e:  # noqa: BLE001
+        log(f"h bench failed: {type(e).__name__}: {e}")
 
-            traceback.print_exc(file=sys.stderr)
-            log(f"small chain bench failed: {type(e).__name__}: {e}")
+    small_ns = [512]
+    if os.environ.get("HALO_BENCH_GRID", "0") == "1":
+        small_ns = [512, 1024, 2048, 4096, 8192]
+    if os.environ.get("HALO_BENCH_SMALL", "1") != "0":
+        for sn in small_ns:
+            if remaining() <= 600:
+                log(f"skipping chain n={sn}: out of time budget")
+                break
+            try:
+                bench_chain(sn, 10, reps, side)
+            except Exception as e:  # noqa: BLE001 - bench must always emit JSON
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                log(f"chain n={sn} bench failed: {type(e).__name__}: {e}")
 
     if remaining() > 300:
         try:

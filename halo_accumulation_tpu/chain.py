@@ -63,6 +63,66 @@ def build_chain(rng: np.random.Generator, n: int, k: int, pp: pp_mod.PublicParam
     return d, qss, accs
 
 
+def deserialize_instance(b: bytes):
+    """Parse one serialized Instance; returns (Instance, bytes_used)."""
+    from halo_accumulation_tpu.utils import serialize as ser
+
+    off = 0
+    C = ser.deser_point(b[off : off + ser.POINT_BYTES])
+    off += ser.POINT_BYTES
+    d = int.from_bytes(b[off : off + 8], "little")
+    off += 8
+    z = int.from_bytes(b[off : off + 32], "little")
+    off += 32
+    v = int.from_bytes(b[off : off + 32], "little")
+    off += 32
+    pi, used = acc_mod._parse_evalproof(b[off:])
+    off += used
+    return acc_mod.Instance(C=C, d=d, z=z, v=v, pi=pi), off
+
+
+def save_chain(path, d: int, qss, accs) -> None:
+    """Persist a built chain (setup state, not timed work - criterion
+    likewise excludes chain construction from the measured helpers)."""
+    import pathlib
+
+    out = [d.to_bytes(8, "little"), len(accs).to_bytes(8, "little")]
+    for qs, acc in zip(qss, accs):
+        out.append(len(qs).to_bytes(8, "little"))
+        out.extend(q.serialize() for q in qs)
+        ab = acc_mod.serialize_accumulator(acc)
+        out.append(len(ab).to_bytes(8, "little"))
+        out.append(ab)
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(b"".join(out))
+
+
+def load_chain(path):
+    """Load a chain saved by save_chain: returns (d, qss, accs)."""
+    b = __import__("pathlib").Path(path).read_bytes()
+    off = 0
+    d = int.from_bytes(b[off : off + 8], "little")
+    off += 8
+    k = int.from_bytes(b[off : off + 8], "little")
+    off += 8
+    qss, accs = [], []
+    for _ in range(k):
+        m = int.from_bytes(b[off : off + 8], "little")
+        off += 8
+        qs = []
+        for _ in range(m):
+            q, used = deserialize_instance(b[off:])
+            off += used
+            qs.append(q)
+        alen = int.from_bytes(b[off : off + 8], "little")
+        off += 8
+        accs.append(acc_mod.deserialize_accumulator(b[off : off + alen]))
+        off += alen
+        qss.append(qs)
+    return d, qss, accs
+
+
 def verify_chain_fast(d: int, qss, accs, pp: pp_mod.PublicParams) -> None:
     """Fast path: verifier at every step + one final decider, batched
     (benches/acc.rs:64-74).  Raises ValueError on rejection."""

@@ -57,20 +57,18 @@ def _local_sums_and_combine(points, digits, c: int, pad: int):
     S = msm_mod._bucket_sums_chunk(points, digits, c, pad)  # (W, L, B) x3
     stacked = jnp.stack(S)  # (3, W, L, B)
     allp = jax.lax.all_gather(stacked, AXIS)  # (nd, 3, W, L, B)
-    nd = allp.shape[0]
+
+    def as_pv(arr):
+        """(k, 3, W, L, B) slice -> PointVec with coords (L, k, W, B)."""
+        return cv.PointVec(*(jnp.moveaxis(arr[:, i], 2, 0) for i in range(3)))
+
     # tree-add the device axis with complete adds
     cur = allp
     while cur.shape[0] > 1:
         n = cur.shape[0]
         half = n // 2
-        lo = cv.PointVec(*(jnp.moveaxis(cur[:half, i], 2, 1) for i in range(3)))
-        hi = cv.PointVec(*(jnp.moveaxis(cur[half : 2 * half, i], 2, 1) for i in range(3)))
-        # lo/hi coords: (half, W, L, B) -> moveaxis L first? cv expects (L, *batch)
-        lo = cv.PointVec(*(jnp.moveaxis(a, 2, 0) if a.shape[0] != L else a for a in lo))
-        hi = cv.PointVec(*(jnp.moveaxis(a, 2, 0) if a.shape[0] != L else a for a in hi))
-        s = cv.padd(lo, hi)  # (L, half, W, B)
-        s = jnp.stack([jnp.moveaxis(a, 0, 2) for a in s])  # (3, half, W, L, B)
-        s = jnp.moveaxis(s, 0, 1)  # (half, 3, W, L, B)
+        s = cv.padd(as_pv(cur[:half]), as_pv(cur[half : 2 * half]))  # (L, half, W, B)
+        s = jnp.stack([jnp.moveaxis(a, 0, 2) for a in s], axis=1)  # (half, 3, W, L, B)
         if n % 2:
             s = jnp.concatenate([s, cur[2 * half :]], axis=0)
         cur = s

@@ -216,6 +216,8 @@ def open_(
     w: int | None,
     pp: pp_mod.PublicParams,
     _safe: bool = False,
+    mesh=None,
+    axis: str | None = None,
 ) -> EvalProof:
     """IPA opening proof (pcdl.rs:120-242).
 
@@ -225,7 +227,15 @@ def open_(
     The per-round L/R MSMs run with pinned pads and a DEFERRED validity
     flag (one extra fetch for the whole open instead of one sync per MSM);
     on the astronomically-rare pad overflow the proof is rebuilt through
-    the measured path (_safe=True)."""
+    the measured path (_safe=True).
+
+    mesh/axis: optional jax Mesh to shard the WIDTH-n fold vectors (gs, cs,
+    zs) over devices - the "sequence parallel" analog of SURVEY.md section 2
+    (the reference's scaling axis is degree d, folded in-core at
+    pcdl.rs:195-227).  Fold arithmetic is elementwise (local per shard); the
+    half-width rolls become collective permutes and the small c=5 L/R MSMs
+    reduce across shards, all inserted by GSPMD from the input shardings.
+    The proof bytes are bit-identical to the single-device path."""
     n = d + 1
     lg_n = n.bit_length() - 1
     assert n & (n - 1) == 0 and n <= pp.n
@@ -275,6 +285,15 @@ def open_(
     zs = cached_jit(poly_mod.powers, n, static_argnums=1)(zl, n)
     gs = pp.gs_points(n)
 
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(None, axis or mesh.axis_names[0]))
+        cs = jax.device_put(cs, sh)
+        zs = jax.device_put(zs, sh)
+        gs = cv.PointVec(*(jax.device_put(a, sh) for a in gs))
+
     Ls, Rs = [], []
     flags: list | None = None if _safe else []
     pads5 = msm_mod.pinned_pads(max(n // 2, 1), 5)
@@ -311,7 +330,7 @@ def open_(
         if not ok:
             # a pinned pad overflowed somewhere: rebuild the proof through
             # the measured MSM path (fresh prover randomness; same inputs)
-            return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True)
+            return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True, mesh=mesh, axis=axis)
     U = point_to_host(cv.PointVec(gs.x[:, 0], gs.y[:, 0], gs.z[:, 0]))
     c = int(FR.to_ints(cs[:, 0]))
     return EvalProof(Ls, Rs, U, c, C_bar, w_prime)

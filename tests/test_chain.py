@@ -63,6 +63,20 @@ def test_accumulator_serialize_roundtrip(rng, pp):
     assert acc_mod.serialize_accumulator(b) == blob
 
 
+def test_chain_save_load_roundtrip(rng, pp, tmp_path):
+    d, qss, accs = chain.build_chain(rng, 16, 2, pp)
+    path = tmp_path / "chain.bin"
+    chain.save_chain(path, d, qss, accs)
+    d2, qss2, accs2 = chain.load_chain(path)
+    assert d2 == d and len(qss2) == len(qss) and len(accs2) == len(accs)
+    for qs, qs2 in zip(qss, qss2):
+        assert [(q.C, q.d, q.z, q.v, q.pi) for q in qs] == [
+            (q.C, q.d, q.z, q.v, q.pi) for q in qs2
+        ]
+    # the loaded chain still passes full verification
+    chain.verify_chain_fast(d2, qss2, accs2, pp)
+
+
 def test_api_smoke(rng, pp):
     d = pp.d
     p = [1, 2, 3, 4]

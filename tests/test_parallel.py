@@ -43,6 +43,29 @@ def test_msm_sharded_matches(rng, n_dev, N):
     assert bool(np.asarray(cached_jit(cv.peq)(R, R1)))
 
 
+def test_open_fold_sharded_matches(rng):
+    """Degree-axis ("sequence parallel") sharding of the IPA open fold:
+    gs/cs/zs sharded over the mesh must produce the bit-identical proof."""
+    from halo_accumulation_tpu import chain, pcdl
+    from halo_accumulation_tpu import pp as pp_mod
+
+    pp = pp_mod.get_pp(16, use_disk_cache=False)
+    mesh = pms.make_mesh(8)
+    d = 15
+    coeffs = [chain.rand_scalar(rng) for _ in range(d + 1)]
+    z = chain.rand_scalar(rng)
+    v = 0
+    zp = 1
+    for co in coeffs:
+        v = (v + co * zp) % F.R
+        zp = zp * z % F.R
+    C = pcdl.commit(FR.from_ints(coeffs), d, None, pp)
+    pi_single = pcdl.open_(rng, FR.from_ints(coeffs), C, d, z, None, pp)
+    pi_sharded = pcdl.open_(rng, FR.from_ints(coeffs), C, d, z, None, pp, mesh=mesh, axis=pms.AXIS)
+    assert pi_sharded.serialize() == pi_single.serialize()
+    pcdl.check(C, d, z, v, pi_sharded, pp)
+
+
 def test_succinct_check_batch_sharded(rng):
     """Instance-batch (dp) sharding of the batched succinct check."""
     from halo_accumulation_tpu import chain, pcdl
