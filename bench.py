@@ -28,12 +28,78 @@ HALO_BENCH_DEADLINE seconds (default 2700).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Result emission that survives anything: the headline JSON line is printed
+# by an atexit handler (and SIGTERM/SIGINT convert to sys.exit so it runs),
+# so a phase blowing the driver timeout still leaves a parsable line from
+# whatever completed before it (round-2 failure mode: rc=124, no JSON).
+
+_RESULT: dict = {"metric": "bench_failed", "value": 0, "unit": "none", "vs_baseline": 0}
+_EMITTED = False
+
+
+def set_result(metric: str, value, unit: str, vs_baseline):
+    _RESULT.update(metric=metric, value=value, unit=unit, vs_baseline=vs_baseline)
+
+
+def _emit():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(_RESULT), flush=True)
+
+
+atexit.register(_emit)
+
+
+def _sig_exit(signum, frame):
+    log(f"signal {signum}: emitting result and exiting")
+    sys.exit(1)  # runs atexit
+
+
+signal.signal(signal.SIGTERM, _sig_exit)
+signal.signal(signal.SIGINT, _sig_exit)
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+class phase_guard:
+    """Hard wall-clock box around one bench phase (SIGALRM-based; phases
+    run sequentially on the main thread).  A too-slow phase raises
+    PhaseTimeout instead of eating the whole budget."""
+
+    def __init__(self, seconds: float, name: str):
+        self.seconds = max(1, int(seconds))
+        self.name = name
+
+    def __enter__(self):
+        def on_alarm(signum, frame):
+            raise PhaseTimeout(self.name)
+
+        self._old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(self.seconds)
+        self._t0 = time.time()
+        return self
+
+    def __exit__(self, et, ev, tb):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        if et is PhaseTimeout:
+            log(f"PHASE TIMEOUT: {self.name} exceeded {self.seconds}s")
+            return True  # swallow; move to the next phase
+        log(f"phase {self.name}: {time.time()-self._t0:.1f}s")
+        return False
 
 REF_MS = {  # BASELINE.md (report.md:2129-2164), K=10 rows + derived anchors
     ("f", 512, 10): 67.098,
@@ -66,11 +132,12 @@ def time_best(fn, n=3):
     return best
 
 
-def crosscheck_fused_vs_staged(n: int = 2048) -> bool:
-    """Device self-check: the fused Pippenger dispatch must agree with the
-    staged 4-dispatch pipeline (guards against the round-1 TPU fused-graph
-    miscompile resurfacing; see ops/msm.py docstring)."""
-    import jax
+def crosscheck_rowperm_vs_staged(n: int = 2048) -> bool:
+    """Device self-check: the row-permutation pipeline (default) must agree
+    with the measured staged pipeline - two genuinely different dispatch
+    graphs (guards against the round-1 class of TPU fused-graph
+    miscompiles; asserted non-vacuous by tests/test_msm.py's
+    test_crosscheck_paths_differ)."""
     import jax.numpy as jnp
 
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
@@ -84,15 +151,14 @@ def crosscheck_fused_vs_staged(n: int = 2048) -> bool:
     # reuse the URS generator multiples from a tiny pp
     from halo_accumulation_tpu import pp as pp_mod
 
-    pts = pp_mod.get_pp(max(2048, n)).gs_points(n)
-    r_fused = msm_mod.msm(pts, s)
-    os.environ["HALO_TPU_FORCE_STAGED"] = "1"
-    try:
-        r_staged = msm_mod.msm(pts, s)
-    finally:
-        os.environ.pop("HALO_TPU_FORCE_STAGED", None)
-    ok = bool(np.asarray(cached_jit(cv.peq)(r_fused, r_staged)))
-    log(f"fused-vs-staged cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
+    pts = pp_mod.get_pp(max(256, n)).gs_points(n)
+    c = msm_mod.window_size(n)
+    r_rowperm, okv = msm_mod._rowperm_msm(
+        pts, s, c, msm_mod.pinned_pads(n, c), msm_mod._beffs(c)
+    )
+    r_staged = msm_mod._msm_measured(pts, s, c)
+    ok = bool(np.asarray(cached_jit(cv.peq)(r_rowperm, r_staged))) and bool(np.asarray(okv))
+    log(f"rowperm-vs-staged cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
     return ok
 
 
@@ -118,14 +184,26 @@ def bench_msm(pow2: int, reps: int, side: dict):
     log(f"MSM N=2^{pow2}: c={c}")
     t0 = time.time()
     r = msm_mod.msm(points, scalars)
-    jax.block_until_ready(r.x)
+    np.asarray(r.x)
     log(f"MSM compile+first run {time.time()-t0:.1f}s")
 
-    def run():
-        jax.block_until_ready(msm_mod.msm(points, scalars).x)
+    # tunnel-safe timing: a DIFFERENT scalar vector per repetition (the
+    # axon backend result-caches identical dispatches) and a forced fetch
+    # (block_until_ready alone under-reports un-fetched work)
+    variants = [jnp.roll(scalars, i + 1, axis=1) for i in range(reps)]
+    for v in variants:
+        v.block_until_ready()
+
+    def run(i):
+        np.asarray(msm_mod.msm(points, variants[i]).x)
 
     with profiling.trace(f"msm_2^{pow2}"):
-        dt = time_best(run, reps)
+        dts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            run(i)
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
     pts_per_s = N / dt
     # rough roofline context from the analytic cost model
     digits = msm_mod._digits(scalars, c)
@@ -242,105 +320,111 @@ def main():
     reps = int(os.environ.get("HALO_BENCH_REPS", "3"))
     deadline = time.time() + float(os.environ.get("HALO_BENCH_DEADLINE", "2700"))
     side: dict = {}
-    headline = None
-    fallback = None
+    have_headline = False
 
     def remaining():
         return deadline - time.time()
 
     n = int(os.environ.get("HALO_BENCH_N", "16384"))
     k = int(os.environ.get("HALO_BENCH_K", "10"))
+    # reference-derived MSM anchor: decider at d+1=16384 = 153 ms dominated
+    # by its 16384-point MSM -> ~1.07e5 points/s single-core.
+    ref_rate = 16384 / 0.15263
 
-    # MSM fallback metric FIRST (small URS, modest compile count): the
-    # driver must always get a perf number even if later phases run out of
-    # the time budget.
-    def msm_metric(pow2, dt, pts_per_s):
-        # reference-derived: decider at d+1=16384 = 153 ms dominated by its
-        # 16384-point MSM -> ~1.07e5 points/s single-core.
-        ref_rate = 16384 / 0.15263
-        return {
-            "metric": f"msm_points_per_sec_2^{pow2}",
-            "value": round(pts_per_s, 1),
-            "unit": "points/s",
-            "vs_baseline": round(pts_per_s / ref_rate, 2),
-        }
+    def guard(name, frac_cap):
+        return phase_guard(min(max(remaining() - 120, 1), frac_cap), name)
 
+    # Phases ordered by value-per-second; each is hard time-boxed and the
+    # best result so far is always registered (atexit emits it no matter
+    # how the process ends).
+
+    # 1. MSM 2^14: the always-available fallback metric.
     try:
-        pts_per_s, dt = bench_msm(14, reps, side)
-        side["msm_2^14_points_per_s"] = round(pts_per_s, 1)
-        side["msm_2^14_ms"] = round(dt * 1e3, 2)
-        fallback = msm_metric(14, dt, pts_per_s)
+        with guard("msm_2^14", 1200):
+            pts_per_s, dt = bench_msm(14, reps, side)
+            side["msm_2^14_points_per_s"] = round(pts_per_s, 1)
+            side["msm_2^14_ms"] = round(dt * 1e3, 2)
+            if not have_headline:
+                set_result(
+                    "msm_points_per_sec_2^14", round(pts_per_s, 1), "points/s",
+                    round(pts_per_s / ref_rate, 2),
+                )
     except Exception:  # noqa: BLE001
         import traceback
 
         traceback.print_exc(file=sys.stderr)
 
+    # 2. The headline chain (cache-backed; tools/warm.py builds + persists).
     try:
-        side["fused_vs_staged_ok"] = crosscheck_fused_vs_staged()
+        with guard(f"acc_cmp_f_{n}_{k}", 1500):
+            dt_f = bench_chain(n, k, reps, side)
+            ref = REF_MS.get(("f", n, k))
+            if ref:
+                set_result(
+                    f"acc_cmp_f_{n}_{k}", round(dt_f * 1e3, 2), "ms",
+                    round(ref / (dt_f * 1e3), 2),
+                )
+                have_headline = True
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        log(f"headline chain bench failed: {type(e).__name__}: {e}")
+
+    # 3. MSM at 2^20 (the BASELINE.json metric; URS beyond the reference's
+    # compile-time cap).
+    msm_pow = int(os.environ.get("HALO_BENCH_MSM_POW", "20"))
+    if msm_pow and msm_pow != 14:
+        try:
+            with guard(f"msm_2^{msm_pow}", 900):
+                pts_per_s, dt = bench_msm(msm_pow, reps, side)
+                side[f"msm_2^{msm_pow}_points_per_s"] = round(pts_per_s, 1)
+                side[f"msm_2^{msm_pow}_ms"] = round(dt * 1e3, 1)
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
+    # 4. K=100 amortization cells (where batching should shine vs Rust).
+    if os.environ.get("HALO_BENCH_K100", "1") != "0":
+        try:
+            with guard("acc_cmp_f_16384_100", 900):
+                bench_chain(16384, 100, max(1, reps - 1), side)
+        except Exception as e:  # noqa: BLE001
+            log(f"K=100 bench failed: {type(e).__name__}: {e}")
+
+    # 5. Cross-check + h micro-benches (cheap).
+    try:
+        with guard("crosscheck", 300):
+            side["rowperm_vs_staged_ok"] = crosscheck_rowperm_vs_staged()
     except Exception as e:  # noqa: BLE001
         log(f"cross-check failed to run: {type(e).__name__}: {e}")
-
     try:
-        bench_h(side)
+        with guard("h_benches", 240):
+            bench_h(side)
     except Exception as e:  # noqa: BLE001
         log(f"h bench failed: {type(e).__name__}: {e}")
 
+    # 6. Small-n grid rows.
     small_ns = [512]
     if os.environ.get("HALO_BENCH_GRID", "0") == "1":
         small_ns = [512, 1024, 2048, 4096, 8192]
     if os.environ.get("HALO_BENCH_SMALL", "1") != "0":
         for sn in small_ns:
-            if remaining() <= 600:
+            if remaining() <= 240:
                 log(f"skipping chain n={sn}: out of time budget")
                 break
             try:
-                bench_chain(sn, 10, reps, side)
+                with guard(f"chain_{sn}_10", 600):
+                    bench_chain(sn, 10, reps, side)
             except Exception as e:  # noqa: BLE001 - bench must always emit JSON
                 import traceback
 
                 traceback.print_exc(file=sys.stderr)
                 log(f"chain n={sn} bench failed: {type(e).__name__}: {e}")
 
-    if remaining() > 300:
-        try:
-            dt_f = bench_chain(n, k, reps, side)
-            ref = REF_MS.get(("f", n, k))
-            if ref:
-                headline = {
-                    "metric": f"acc_cmp_f_{n}_{k}",
-                    "value": round(dt_f * 1e3, 2),
-                    "unit": "ms",
-                    "vs_baseline": round(ref / (dt_f * 1e3), 2),
-                }
-        except Exception as e:  # noqa: BLE001
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-            log(f"chain bench failed: {type(e).__name__}: {e}")
-    else:
-        log("skipping headline chain: out of time budget")
-
-    msm_pow = int(os.environ.get("HALO_BENCH_MSM_POW", "20"))
-    if msm_pow and msm_pow != 14 and remaining() > 300:
-        try:
-            pts_per_s, dt = bench_msm(msm_pow, reps, side)
-            side[f"msm_2^{msm_pow}_points_per_s"] = round(pts_per_s, 1)
-            side[f"msm_2^{msm_pow}_ms"] = round(dt * 1e3, 1)
-            if headline is None:
-                fallback = msm_metric(msm_pow, dt, pts_per_s)
-        except Exception:  # noqa: BLE001
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-    elif msm_pow and msm_pow != 14:
-        log("skipping 2^%d MSM: out of time budget" % msm_pow)
-
     log("side metrics: " + json.dumps(side))
-    if headline is None:
-        headline = fallback
-    if headline is None:
-        headline = {"metric": "bench_failed", "value": 0, "unit": "none", "vs_baseline": 0}
-    print(json.dumps(headline))
+    _emit()
 
 
 if __name__ == "__main__":

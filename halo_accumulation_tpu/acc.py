@@ -203,7 +203,14 @@ def decider(acc: Accumulator, pp: pp_mod.PublicParams):
     pcdl.check(acc.C_bar, acc.d, acc.z, acc.v, acc.pi, pp)
 
 
-def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp: pp_mod.PublicParams):
+def verify_chain(
+    D: int,
+    qss: list[list[Instance]],
+    accs: list[Accumulator],
+    pp: pp_mod.PublicParams,
+    mesh=None,
+    axis: str | None = None,
+):
     """Batched equivalent of running the verifier at every chain step plus
     one final decider - the reference's "fast path" benchmark semantics
     (acc_compare_fast_helper, /root/reference/code/benches/acc.rs:64-74),
@@ -213,6 +220,11 @@ def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp:
       * every U_0-commitment check likewise batches into one msm_rows call,
       * per-step challenge/bookkeeping math stays on the host (tiny),
       * the single final decider does the deferred n-point MSM.
+
+    mesh/axis: optional jax Mesh to shard the instance-batch axes of both
+    row-MSMs (data parallel) and the decider's deferred n-point MSM
+    (intra-MSM parallel) across devices.  Verdicts are bit-identical to the
+    single-device path.
 
     Raises ValueError on any rejection.
     """
@@ -231,23 +243,41 @@ def verify_chain(D: int, qss: list[list[Instance]], accs: list[Accumulator], pp:
     for qs in qss:
         step_slices.append((len(flat), len(flat) + len(qs)))
         flat.extend((q.C, q.d, q.z, q.v, q.pi) for q in qs)
-    parts, ok_succ = pcdl.succinct_check_batch_device(flat, pp)
+    parts, ok_succ = pcdl.succinct_check_batch_device(flat, pp, mesh=mesh, axis=axis)
 
-    # batched U_0 = commit(h_0) checks (one msm_rows dispatch)
+    # batched U_0 = commit(h_0) checks (one msm_rows dispatch); with a mesh
+    # the batch axis is padded to a device multiple with all-identity rows
+    # (trivially true) and sharded.
     g0, g1 = pp.gs_host(2)
     B = len(accs)
+    if mesh is not None:
+        nd = mesh.devices.size
+        B = nd * ((B + nd - 1) // nd)
     pts_rows, scs_rows = [], []
     for acc in accs:
         pts_rows.append([g0, g1, acc.pi_V.U])
         scs_rows.append([acc.pi_V.h[0], acc.pi_V.h[1], F.R - 1])
+    for _ in range(B - len(accs)):
+        pts_rows.append([None, None, None])
+        scs_rows.append([0, 0, 0])
     P = cv.from_affine_ints([p for row in pts_rows for p in row])
     P = cv.PointVec(*(a.reshape(_L, B, 3) for a in P))
     s = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, B, 3)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(None, axis, None))
+        P = cv.PointVec(*(jax.device_put(a, sh) for a in P))
+        s = jax.device_put(s, sh)
     ok_u0 = cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(P, s)
 
-    # the one final decider, verdict left on device
+    # the one final decider, verdict left on device (deferred n-MSM sharded
+    # over the mesh when given)
     last = accs[-1]
-    ok_dec = pcdl.check_device(last.C_bar, last.d, last.z, last.v, last.pi, pp)
+    ok_dec = pcdl.check_device(
+        last.C_bar, last.d, last.z, last.v, last.pi, pp, mesh=mesh, axis=axis
+    )
 
     # ---- 2. per-step host bookkeeping (challenges + equality checks),
     # overlapping the device queue --------------------------------------

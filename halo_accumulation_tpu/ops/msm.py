@@ -16,29 +16,32 @@ all branchless vectorized complete-adds.  Key properties:
     digits collide harmlessly there, so MSM cost scales with the number of
     *nonzero* digits - commitments to low-degree polynomials padded with
     zeros (pcdl.rs:99-110 pads to n = d+1) cost almost nothing.
-  * PAD (max points per bucket) is measured on device PER WINDOW and fixed
-    per call on the host, so kernels stay static-shaped; pads are rounded
-    to {2^k, 3*2^(k-1)} classes to bound the jit cache.  Windows are
-    grouped into runs sharing (bucket count, pad): the top window - whose
-    digit range is cut down by the field modulus (canonical Fr < r ~ 2^254)
-    and by 255 mod c - gets its own smaller bucket space and larger pad
-    instead of inflating every window's scatter matrix (the round-1 failure
-    mode at N=2^20).
-  * The hot path is a SINGLE fused dispatch per window group: a lax.scan
-    over the group's windows whose body does sort -> scatter -> pad tree
-    reduce -> suffix weighted sum -> Horner carry (_pippenger).  Round 1 of
-    this build hit a TPU backend bug where exactly this fused graph
-    returned off-curve garbage at N >= 1024; on the current stack the
-    reproducers (tools/tpu_fusion_probe.py, tools/tpu_msm_check.py) pass,
-    the fused path is ~5x faster than split dispatches (HBM
-    materialization between stages), and bench.py cross-checks fused vs
-    staged on device at startup.  HALO_TPU_FORCE_STAGED=1 reverts to the
-    4-dispatch staged pipeline (_bucket_sums -> _suffix_mask ->
-    _window_reduce -> _horner_combine), which is also the fallback when a
-    window group's scatter matrix exceeds the memory budget (points are
-    then chunked and per-chunk bucket sums combined with complete adds, so
-    a skewed digit distribution can never blow past the budget - it only
-    increases the chunk count).
+  * PAD (max points per bucket) is PINNED to a deterministic per-size-class
+    value with a deferred device validity flag (no measurement sync; the
+    astronomically-rare overflow falls back to a measured re-run); pads are
+    rounded to {2^k, 3*2^(k-1)} classes to bound the jit cache.  Windows
+    are grouped into runs sharing (bucket count, pad): the top window -
+    whose digit range is cut down by the field modulus (canonical
+    Fr < r ~ 2^254) and by 255 mod c - gets its own smaller bucket space
+    and larger pad instead of inflating every window's scatter matrix (the
+    round-1 failure mode at N=2^20).
+  * The hot path is the ROW-PERMUTATION pipeline (default since round 3;
+    see the banner comment above rows_from_points): an int32-only inverse
+    permutation is scattered (4 bytes per point, not 216), the point data
+    moves as one 256-byte-row gather, and every compute array keeps a
+    128-multiple lane axis so the pad tree / suffix scan run on the fused
+    Pallas point kernels at full rate.  Round-2 profiling showed the
+    previous formulation (scatter all 54 limb planes, misaligned (B, pad)
+    layouts) spent >90% of its time in XLA data movement
+    (tools/tpu_stage_probe.py: 290 ms scatter + 133 ms tree vs ~10 ms of
+    point math at N=2^14).
+  * HALO_TPU_MSM_IMPL=staged selects the older 4-dispatch staged pipeline
+    (_bucket_sums -> _suffix_mask -> _window_reduce -> _horner_combine)
+    with measured pads: the correctness backstop (bench.py cross-checks
+    rowperm vs staged on device at startup), the overflow fallback, and
+    the building block of the sharded MSM.  Its point-chunked fallback
+    bounds memory under any digit skew (skew only increases the chunk
+    count, never the scatter matrix).
 """
 
 from __future__ import annotations
@@ -142,48 +145,141 @@ def _max_bucket_counts(digits, c: int):
     return ms
 
 
-def _pippenger(points: cv.PointVec, digits, c: int, pad: int, beff: int | None = None) -> cv.PointVec:
-    """Fused Pippenger over a (group of) window(s): ONE dispatch.
+# ---------------------------------------------------------------------------
+# Row-permutation Pippenger (the TPU default since round 3).
+#
+# Round-2 profiling (tools/tpu_stage_probe.py at N=2^14) showed the staged
+# pipeline spends >90% of its wall clock in XLA data movement around the
+# point math: scattering 54 limb planes lane-by-lane cost 290 ms and the
+# misaligned (., B, pad) tree layout another 133 ms, against ~10 ms of
+# actual point adds at the measured Pallas rate.  The fix is to move POINTS
+# AS 256-BYTE ROWS and keep every compute array lane-aligned:
+#
+#   1. digits -> per-window sort ranks (u32-only math),
+#   2. build an int32 INVERSE permutation: scatter each point's index (4
+#      bytes, not 216) into its (window, bucket, slot) cell; empty cells
+#      keep the sentinel N,
+#   3. ONE row gather pulls the whole scatter matrix: points live as
+#      (N+1, 64) u32 rows (54 coordinate limbs + pad; row N = identity),
+#      so the gather moves contiguous 256 B rows - DMA-friendly,
+#   4. transpose once to limb planes laid out (L, pad, W*B): the pad tree
+#      reduce slices the MIDDLE axis so every operand keeps a 128-multiple
+#      lane dimension, feeding the fused Pallas padd at full rate,
+#   5. suffix-scan bucket weighting + Horner window combine as before.
+#
+# Pads are PINNED (deterministic per size class) with a deferred device
+# validity flag - no measurement sync - and window groups sharing
+# (bucket-space, pad) run as one call, combined with shift-adds.
 
-    lax.scan over the windows (msb first); the body sorts the digits,
-    scatters points into a (beff x pad) matrix, tree-reduces the pad axis,
-    applies bucket weights via a suffix scan, reduces to the window's
-    single point, and Horner-carries: acc <- 2^c * acc + W_w.
-    Returns sum_w 2^(c*(k-1-w)) * W_w for the k windows given."""
-    W, N = digits.shape
-    B = beff or (1 << c)
-    ident = cv.identity((B * pad,))
 
-    def window_body(acc, d):
-        order = jnp.argsort(d)
-        sd = d[order]
-        pts = cv.gather_points(points, order)
-        first = jnp.searchsorted(sd, sd, side="left")
-        rank = jnp.arange(N, dtype=first.dtype) - first
-        idx = sd.astype(jnp.int32) * pad + jnp.minimum(rank, pad - 1).astype(jnp.int32)
-        M = cv.PointVec(
-            ident.x.at[:, idx].set(pts.x),
-            ident.y.at[:, idx].set(pts.y),
-            ident.z.at[:, idx].set(pts.z),
+def rows_from_points(points: cv.PointVec):
+    """PointVec (L, N) planes -> (N+1, 64) u32 rows: row n = x limbs ||
+    y limbs || z limbs || zero pad; row N is the identity (0:1:0)."""
+    N = points.x.shape[1]
+    arr = jnp.concatenate([points.x, points.y, points.z], axis=0)  # (3L, N)
+    arr = jnp.pad(arr, ((0, 64 - 3 * L), (0, 0)))
+    ident = jnp.zeros((1, 64), jnp.uint32).at[0, L].set(1)  # y = 1
+    return jnp.concatenate([arr.T, ident], axis=0)
+
+
+def _rows_cached(points: cv.PointVec):
+    N = points.x.shape[1]
+    return cached_jit(rows_from_points, "rows", N)(points)
+
+
+def _perm_slots(digits_g, pad: int, beff: int):
+    """Inverse permutation for one window group: digits_g (Wg, N) ->
+    (src (pad*Wg*beff,) int32 with sentinel N for empty slots, ok bool).
+
+    GATHER-ONLY construction (no XLA scatter, no per-element searchsorted -
+    both measured 20-40x slower than this on TPU): argsort the digits, then
+    binary-search only the B bucket boundaries in each sorted row; slot
+    (p, w, b) reads sorted position first[w, b] + p when p < count[w, b].
+
+    ok is False iff some NONZERO-digit bucket overflows pad (zero digits
+    may overflow freely: bucket 0 is the dump bucket, masked out of the
+    weighted sum)."""
+    Wg, N = digits_g.shape
+    order = jnp.argsort(digits_g, axis=1).astype(jnp.int32)
+    sd = jnp.take_along_axis(digits_g, order.astype(jnp.uint32), axis=1)
+    bvals = jnp.arange(beff, dtype=sd.dtype)
+    first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(sd)
+    nxt = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(sd)
+    count = (nxt - first).astype(jnp.int32)  # (Wg, beff)
+    ok = jnp.max(count[:, 1:]) <= pad
+    p = jnp.arange(pad, dtype=jnp.int32)[:, None, None]  # (pad, 1, 1)
+    idx = first.astype(jnp.int32)[None] + p  # (pad, Wg, beff)
+    valid = p < count[None]
+    got = jnp.take_along_axis(
+        order,
+        jnp.moveaxis(jnp.minimum(idx, N - 1), 0, 1).reshape(Wg, pad * beff),
+        axis=1,
+    ).reshape(Wg, pad, beff)
+    src = jnp.where(jnp.moveaxis(valid, 0, 1), got, N)  # (Wg, pad, beff)
+    return jnp.moveaxis(src, 1, 0).reshape(pad * Wg * beff), ok
+
+
+def _bucket_group_rows(rows, src, c: int, pad: int, Wg: int, beff: int) -> cv.PointVec:
+    """One window group's Pippenger partial from the row table + inverse
+    permutation: gather -> transpose -> pad tree reduce -> suffix-scan
+    weighting -> Horner over the group's windows (msb first)."""
+    cols = Wg * beff
+    M = jnp.take(rows, src, axis=0)  # (pad*cols, 64) u32 rows
+    Mt = M.T.reshape(64, pad, cols)
+    P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Mt[2 * L : 3 * L])
+    S = cv.sum_points(P, axis=0)  # (L, cols) bucket sums
+    S = cv.PointVec(*(a.reshape(L, Wg, beff) for a in S))
+    # suffix sums SS_b = sum_{j>=b} S_j; weighted sum = sum_{b>=1} SS_b
+    T = S
+    sh = 1
+    while sh < beff:
+        shifted = cv.PointVec(
+            *(jnp.concatenate([a[:, :, sh:], cv.identity((Wg, sh))[i]], axis=2)
+              for i, a in enumerate(T))
         )
-        M = cv.PointVec(*(a.reshape(L, B, pad) for a in M))
-        S = cv.sum_points(M, axis=1)  # (L, B): bucket sums
-        # suffix sums SS_b = sum_{j>=b} S_j; weighted sum = sum_{b>=1} SS_b
-        T = S
-        sh = 1
-        while sh < B:
-            shifted = cv.PointVec(
-                *(jnp.concatenate([a[:, sh:], cv.identity((sh,))[i]], axis=1)
-                  for i, a in enumerate(T))
-            )
-            T = cv.padd(T, shifted)
-            sh *= 2
-        wsum = cv.sum_points(cv.PointVec(*(a[:, 1:] for a in T)), axis=0)
-        acc = jax.lax.fori_loop(0, c, lambda _, p: cv.pdbl(p), acc)
-        return cv.padd(acc, wsum), 0.0
+        T = cv.padd(T, shifted)
+        sh *= 2
+    V = cv.sum_points(cv.PointVec(*(a[:, :, 1:] for a in T)), axis=1)  # (L, Wg)
+    return _horner_combine(tuple(V), c)
 
-    acc, _ = jax.lax.scan(window_body, cv.identity(()), digits)
-    return acc
+
+def _expand_groups(pads: list[int], beffs: list[int]):
+    """(pad, beff) runs sub-chunked so each call's scatter matrix fits the
+    memory budget (in 256-byte row columns)."""
+    out = []
+    for w0, w1, beff, pad in _group_windows(pads, beffs):
+        wc = max(1, _SCATTER_BUDGET_COLS // (beff * pad))
+        for ws in range(w0, w1, wc):
+            out.append((ws, min(ws + wc, w1), beff, pad))
+    return out
+
+
+def _rowperm_msm(points: cv.PointVec, scalars, c: int, pads: list[int], beffs: list[int]):
+    """Row-permutation MSM: returns (point, ok_device).  No host sync."""
+    rows = _rows_cached(points)
+    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+    acc = None
+    oks = []
+    for w0, w1, beff, pad in _expand_groups(pads, beffs):
+        Wg = w1 - w0
+        src, okv = cached_jit(_perm_slots, "ps", pad, beff, static_argnums=(1, 2))(
+            digits[w0:w1], pad, beff
+        )
+        part = cached_jit(
+            _bucket_group_rows, "bg", c, pad, Wg, beff, static_argnums=(2, 3, 4, 5)
+        )(rows, src, c, pad, Wg, beff)
+        oks.append(okv)
+        if acc is None:
+            acc = part
+        else:
+            sa = cached_jit(_shift_add, "sa", c * Wg, static_argnums=2)
+            acc = sa(acc, part, c * Wg)
+    ok = cached_jit(_all_true, "ok", len(oks), static_argnums=())(jnp.stack(oks))
+    return acc, ok
+
+
+def _all_true(flags):
+    return jnp.all(flags)
 
 
 def _shift_add(acc: cv.PointVec, part: cv.PointVec, k: int) -> cv.PointVec:
@@ -203,32 +299,11 @@ def _group_windows(pads: list[int], beffs: list[int]):
     return groups
 
 
-def _grouped_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: list[int]) -> cv.PointVec:
-    """Fused-dispatch MSM: one _pippenger per window group + tiny combines."""
-    groups = _group_windows(pads, beffs)
-    acc = None
-    for w0, w1, beff, pad in groups:
-        k = cached_jit(_pippenger, "pip", c, pad, beff, w1 - w0, static_argnums=(2, 3, 4))
-        part = k(points, digits[w0:w1], c, pad, beff)
-        if acc is None:
-            acc = part
-        else:
-            sa = cached_jit(_shift_add, "sa", c * (w1 - w0), static_argnums=2)
-            acc = sa(acc, part, c * (w1 - w0))
-    return acc
-
-
-def _use_fused() -> bool:
-    """The scan-over-windows fused kernel is OPT-IN (HALO_TPU_FORCE_FUSED=1):
-    with the Pallas point kernels routing cv.padd/pdbl, the batched-window
-    staged pipeline issues ~30x fewer, ~30x larger device calls and wins
-    (the fused scan pays per-window launch overhead; measured 195 ms vs
-    <institutional staged numbers in BENCH logs> at N=2^14).
-    HALO_TPU_FORCE_STAGED=1 is a no-op left for compatibility (staged is
-    the default)."""
-    if os.environ.get("HALO_TPU_FORCE_STAGED", "0") == "1":
-        return False
-    return os.environ.get("HALO_TPU_FORCE_FUSED", "0") == "1"
+def _impl() -> str:
+    """MSM implementation selector: 'rowperm' (default) or 'staged'
+    (HALO_TPU_MSM_IMPL=staged; also the measured-pad fallback path and the
+    building block of parallel/msm_sharded)."""
+    return os.environ.get("HALO_TPU_MSM_IMPL", "rowperm")
 
 
 def _staged_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: list[int]) -> cv.PointVec:
@@ -256,10 +331,17 @@ def _pads_ok(digits, c: int, pads: tuple):
 
 def pinned_pads(n: int, c: int) -> list[int]:
     """Deterministic per-window pads for n roughly-uniform scalars: mean +
-    ~6 sigma slack, doubled for the top window (its digit range is halved
-    by the modulus, so its bucket mean doubles)."""
-    base = _class_pad(max(n, 1), c)
-    return [_round_pad(2 * base)] + [base] * (num_windows(c) - 1)
+    ~6 sigma slack per window, where the top window's mean is scaled by its
+    REAL digit bound (canonical Fr < r cuts its range to top_bound buckets,
+    e.g. 64 of 256 at c=8 -> 4x the occupancy of a full window)."""
+    W = num_windows(c)
+    top_bound = ((_fields.R - 1) >> ((W - 1) * c)) + 1
+
+    def pad_for(nbuckets: int) -> int:
+        mean = max(1, (max(n, 1) + nbuckets - 1) // nbuckets)
+        return _round_pad(mean + 6 * int(np.sqrt(mean)) + 8)
+
+    return [pad_for(max(1, top_bound - 1))] + [pad_for((1 << c) - 1)] * (W - 1)
 
 
 def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[int] | None = None):
@@ -275,13 +357,14 @@ def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[i
     if pads is None:
         pads = pinned_pads(N, c)
     beffs = _beffs(c)
+    if _impl() == "rowperm":
+        return _rowperm_msm(points, scalars, c, pads, beffs)
     if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
         pt = msm(points, scalars, c)
         return pt, jnp.asarray(True)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
     ok = cached_jit(_pads_ok, "ok", c, tuple(pads), static_argnums=(1, 2))(digits, c, tuple(pads))
-    fn = _grouped_msm if _use_fused() else _staged_msm
-    return fn(points, digits, c, pads, beffs), ok
+    return _staged_msm(points, digits, c, pads, beffs), ok
 
 
 def _measure_pads(digits, c: int, tag: str = "w") -> list[int]:
@@ -299,11 +382,26 @@ def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
     """MSM over the Pallas curve: sum_i scalars_i * points_i.
 
     points: PointVec with batch (N,); scalars: (L, N) Fr limbs.
-    Host-orchestrated: digit extraction and per-window bucket-size
-    measurement run first (one host sync), then one fused dispatch per
-    window group (see module docstring).  Returns a single projective
-    point (batch ()).
-    """
+    Default (rowperm) path: pinned pads, one device round per window group,
+    then ONE host sync on the validity flag; the astronomically-rare pad
+    overflow falls back to the measured staged path.  Returns a single
+    projective point (batch ())."""
+    N = points.x.shape[1]
+    assert scalars.shape == (L, N)
+    if c is None:
+        c = window_size(N)
+    if _impl() == "rowperm":
+        pt, ok = _rowperm_msm(points, scalars, c, pinned_pads(N, c), _beffs(c))
+        if bool(np.asarray(ok)):
+            return pt
+        return _msm_measured(points, scalars, c)
+    return _msm_measured(points, scalars, c)
+
+
+def _msm_measured(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
+    """Staged-pipeline MSM with MEASURED per-window pads (one host sync)
+    and point-chunked fallback for skewed digit distributions.  Correctness
+    backstop for the pinned-pad paths and the basis of the sharded MSM."""
     N = points.x.shape[1]
     assert scalars.shape == (L, N)
     if c is None:
@@ -317,8 +415,6 @@ def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
 
     fits = all((1 << c) * p <= _SCATTER_BUDGET_COLS for p in pads)
     if fits:
-        if _use_fused():
-            return _grouped_msm(points, digits, c, pads, beffs)
         return _staged_msm(points, digits, c, pads, beffs)
 
     pad = max(pads)
@@ -343,7 +439,7 @@ def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
             if K >= 64 and c > 3:
                 # pathologically skewed digits (e.g. near-constant scalars):
                 # restart with tiny windows so B*pad is bounded by 8*Nc.
-                return msm(points, scalars, c=3)
+                return _msm_measured(points, scalars, c=3)
             K *= 2
         S = None
         comb = cached_jit(_combine_sums, "cs")
@@ -381,13 +477,6 @@ def _width_class(m: int) -> int:
     return cls
 
 
-def _class_pad(cls: int, c: int) -> int:
-    """Deterministic pad covering the max bucket count of cls uniform digits
-    over 2^c - 1 nonzero buckets with ample slack (mean + ~6 sigma)."""
-    mean = max(1, cls >> c)
-    return _round_pad(mean + 6 * int(np.sqrt(mean)) + 8)
-
-
 def msm_classed(points: cv.PointVec, scalars, flags: list | None = None) -> cv.PointVec:
     """MSM with width padded to the class ladder and PINNED pad classes -
     no measurement round-trip at all.  If `flags` is a list, a device bool
@@ -400,9 +489,17 @@ def msm_classed(points: cv.PointVec, scalars, flags: list | None = None) -> cv.P
     cls = _width_class(m)
     c = 5
     points, scalars = _pad_points(points, scalars, cls)
+    pads = pinned_pads(cls, c)
+    beffs = _beffs(c)
+    if _impl() == "rowperm":
+        pt, okv = _rowperm_msm(points, scalars, c, pads, beffs)
+        if flags is not None:
+            flags.append(okv)
+            return pt
+        if bool(np.asarray(okv)):
+            return pt
+        return _msm_measured(points, scalars, c)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
-    base = _class_pad(cls, c)
-    pads = [_round_pad(2 * base)] + [base] * (num_windows(c) - 1)
     if flags is not None:
         flags.append(
             cached_jit(_pads_ok, "okc", c, tuple(pads), static_argnums=(1, 2))(
@@ -411,11 +508,9 @@ def msm_classed(points: cv.PointVec, scalars, flags: list | None = None) -> cv.P
         )
     else:
         pads = [max(p, q) for p, q in zip(pads, _measure_pads(digits, c, "cl"))]
-    beffs = _beffs(c)
     if any((1 << c) * p > _SCATTER_BUDGET_COLS for p in pads):
-        return msm(points, scalars)  # absurdly skewed: full path with chunking
-    fn = _grouped_msm if _use_fused() else _staged_msm
-    return fn(points, digits, c, pads, beffs)
+        return _msm_measured(points, scalars)  # absurdly skewed: chunked path
+    return _staged_msm(points, digits, c, pads, beffs)
 
 
 # ---------------------------------------------------------------------------

@@ -15,10 +15,11 @@ The per-window bucket-sum exchange is O(W * B) points regardless of N, so
 communication amortizes as N grows: at N = 2^20 per chip and c = 15 the
 exchange is ~120 MB against ~seconds of bucket-sum compute.
 
-Built on the staged kernels (never the fused _pippenger, which miscompiles
-on TPU at N >= 1024 - see ops/msm.py docstring and
-tools/tpu_fusion_probe.py): the shard_map body is stage 1 plus the gather
-tree, well under the empirically-safe fused-graph size.
+Built on the staged stage-1 kernel (_bucket_sums_chunk): its (W, L, B)
+bucket-sum planes are exactly the per-shard partial state the all-gather
+combine needs.  The single-chip default is the row-permutation pipeline
+(ops/msm.py), whose group partials are already Horner-combined and so
+would force a less parallel exchange.
 """
 
 from __future__ import annotations

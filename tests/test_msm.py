@@ -55,9 +55,11 @@ def test_msm_adversarial(rng):
 
 
 def test_msm_chunked_paths(rng, monkeypatch):
-    """Force the point-chunking and window-group paths with a tiny scatter
-    budget; results must still match the oracle (covers the round-1 tail
-    bug and the ADVICE.md budget-overrun finding)."""
+    """Force the point-chunking and window-group paths of the STAGED
+    backstop with a tiny scatter budget; results must still match the
+    oracle (covers the round-1 tail bug and the ADVICE.md budget-overrun
+    finding)."""
+    monkeypatch.setenv("HALO_TPU_MSM_IMPL", "staged")
     n = 96  # non-power-of-two: exercises _pad_points inside the chunk path
     pts = rand_points(rng, n)
     ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
@@ -67,9 +69,10 @@ def test_msm_chunked_paths(rng, monkeypatch):
     assert run_msm(pts, ss, c=3) == F.p_msm(ss, pts)
 
 
-def test_msm_fused_matches(rng, monkeypatch):
-    """The fused single-dispatch path (TPU default) == oracle on CPU too."""
-    monkeypatch.setenv("HALO_TPU_FORCE_FUSED", "1")
+def test_msm_rowperm_matches(rng, monkeypatch):
+    """The row-permutation path (the default) == oracle, including its
+    sub-chunked window groups under a small budget."""
+    monkeypatch.setenv("HALO_TPU_MSM_IMPL", "rowperm")
     n = 64
     pts = rand_points(rng, n)
     ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
@@ -81,6 +84,53 @@ def test_msm_fused_matches(rng, monkeypatch):
     R, ok = msm.msm_flagged(P, s, c=4)
     assert bool(np.asarray(ok))
     assert run_point(R) == F.p_msm(ss, pts)
+    # sub-chunked groups (wc=1) under a tiny budget
+    monkeypatch.setattr(msm, "_SCATTER_BUDGET_COLS", 1024)
+    R2, ok2 = msm.msm_flagged(P, s, c=4)
+    assert bool(np.asarray(ok2))
+    assert run_point(R2) == F.p_msm(ss, pts)
+
+
+def test_msm_rowperm_overflow_flag(rng, monkeypatch):
+    """Constant scalars overflow one bucket: the pinned-pad flag must go
+    False and msm() must still return the right point via the measured
+    fallback."""
+    monkeypatch.setenv("HALO_TPU_MSM_IMPL", "rowperm")
+    n = 64
+    pts = rand_points(rng, n)
+    ss = [12345] * n  # every window's digit identical -> bucket count = n
+    P = cv.from_affine_ints(pts)
+    s = FR.from_ints(ss)
+    _, ok = msm.msm_flagged(P, s, c=4, pads=[4] * msm.num_windows(4))
+    assert not bool(np.asarray(ok))
+    assert run_msm(pts, ss, c=4) == F.p_msm(ss, pts)
+
+
+def test_crosscheck_paths_differ(rng, monkeypatch):
+    """bench.py's rowperm-vs-staged cross-check must dispatch two GENUINELY
+    different pipelines (round-2 VERDICT: the old check compared the staged
+    path against itself)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    calls = {"rowperm": 0, "staged": 0}
+    orig_rp, orig_ms = msm._rowperm_msm, msm._msm_measured
+
+    def rp(*a, **k):
+        calls["rowperm"] += 1
+        return orig_rp(*a, **k)
+
+    def ms(*a, **k):
+        calls["staged"] += 1
+        return orig_ms(*a, **k)
+
+    monkeypatch.setattr(msm, "_rowperm_msm", rp)
+    monkeypatch.setattr(msm, "_msm_measured", ms)
+    assert bench.crosscheck_rowperm_vs_staged(n=64)
+    assert calls["rowperm"] == 1 and calls["staged"] == 1
 
 
 def test_msm_classed(rng):

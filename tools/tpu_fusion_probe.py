@@ -13,7 +13,8 @@ true sum with the pure-python oracle, and then evaluates jitted programs of
 increasing point-op depth, comparing each against the oracle:
 
   probe(k): tree-reduce N points to one (lg N padds) then k extra pdbl.
-  pip(N):   the full fused _pippenger at N (the round-1 failing shape).
+  pip(N):   one full row-permutation window group at N (the production
+            fused shape since round 3; the round-1 failing class).
 
 Usage:  python tools/tpu_fusion_probe.py [--n 1024] [--max-extra 64]
 Prints one line per configuration: OK / MISMATCH.
@@ -31,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--max-extra", type=int, default=64)
-    ap.add_argument("--pippenger", action="store_true", help="also run the fused _pippenger repro")
+    ap.add_argument("--pippenger", action="store_true", help="also run the fused rowperm group repro")
     args = ap.parse_args()
 
     from halo_accumulation_tpu import runtime
@@ -86,22 +87,19 @@ def main():
         print(f"depth={lgn}+{k} point-ops: {'OK' if ok else 'MISMATCH'}")
 
     if args.pippenger:
-        # the round-1 failing shape: fully fused pippenger
+        # the production fused shape: full rowperm MSM with pinned pads
         scalars = FR.from_ints(ks)
         c = 8
-        digits = msm_mod._digits(scalars, c)
-        maxc = int(np.asarray(msm_mod._max_bucket_counts(digits, c)).max())
-        pad = 1
-        while pad < maxc:
-            pad *= 2
-        fused = jax.jit(lambda p, d: msm_mod._pippenger(p, d, c, pad))
-        out = fused(P, digits)
+        out, okv = msm_mod._rowperm_msm(
+            P, scalars, c, msm_mod.pinned_pads(N, c), msm_mod._beffs(c)
+        )
         jax.block_until_ready(out.x)
         from halo_accumulation_tpu.pcdl import point_to_host
 
         got = point_to_host(out)
         want = F.p_msm(ks, pts)
-        print(f"fused _pippenger N={N} c={c} pad={pad}: {'OK' if got == want else 'MISMATCH'}")
+        okf = bool(np.asarray(okv))
+        print(f"rowperm MSM N={N} c={c}: {'OK' if (got == want and okf) else 'MISMATCH'}")
 
     bad = [d for d, ok in results if not ok]
     if bad:

@@ -98,17 +98,14 @@ def main():
     dt = t(lambda: jax.block_until_ready(msm_mod.msm(P, s).x), 5)
     print(f"msm total: {dt*1e3:.2f} ms", flush=True)
 
-    # fused comparison
-    import os
-
-    os.environ["HALO_TPU_ALLOW_FUSED"] = "1"
+    # rowperm comparison
     c8 = 8
-    d8 = cached_jit(msm_mod._digits, c8, static_argnums=1)(s, c8)
-    pad8 = msm_mod._measure_pad(d8, c8)
-    fused = jax.jit(lambda p, d: msm_mod._pippenger(p, d, c8, pad8))
-    jax.block_until_ready(fused(P, d8).x)
-    dt = t(lambda: jax.block_until_ready(fused(P, d8).x), 5)
-    print(f"fused pippenger c=8 pad={pad8}: {dt*1e3:.2f} ms", flush=True)
+    rp = lambda: msm_mod._rowperm_msm(  # noqa: E731
+        P, s, c8, msm_mod.pinned_pads(P.x.shape[1], c8), msm_mod._beffs(c8)
+    )
+    jax.block_until_ready(rp()[0].x)
+    dt = t(lambda: jax.block_until_ready(rp()[0].x), 5)
+    print(f"rowperm msm c=8: {dt*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

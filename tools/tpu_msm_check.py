@@ -1,5 +1,5 @@
 """On-TPU MSM parity check: staged msm() (and optionally the fused
-_pippenger) vs the pure-python oracle at a size above the round-1 failure
+row-permutation pipeline) vs the pure-python oracle at a size above the round-1 failure
 threshold.  Usage: python tools/tpu_msm_check.py [--n 4096] [--fused]."""
 
 from __future__ import annotations
@@ -61,19 +61,16 @@ def main():
         ok = ok and got2 == want
 
     if args.fused:
-        import os
-
-        os.environ["HALO_TPU_ALLOW_FUSED"] = "1"
         c = 8
-        digits = msm_mod._digits(s, c)
-        maxc = int(np.asarray(msm_mod._max_bucket_counts(digits, c)).max())
-        pad = msm_mod._round_pad(maxc)
         t0 = time.time()
-        out = jax.jit(lambda p, d: msm_mod._pippenger(p, d, c, pad))(P, digits)
+        out, okv = msm_mod._rowperm_msm(
+            P, s, c, msm_mod.pinned_pads(N, c), msm_mod._beffs(c)
+        )
         jax.block_until_ready(out.x)
-        print(f"fused compile+run {time.time()-t0:.1f}s", flush=True)
+        print(f"rowperm compile+run {time.time()-t0:.1f}s", flush=True)
         gotf = point_to_host(out)
-        print(f"fused _pippenger N={N} c={c} pad={pad}: {'OK' if gotf == want else 'MISMATCH'}", flush=True)
+        okf = bool(np.asarray(okv))
+        print(f"rowperm MSM N={N} c={c}: {'OK' if (gotf == want and okf) else 'MISMATCH'}", flush=True)
 
     return 0 if ok else 1
 
