@@ -58,16 +58,17 @@ def _emit():
         print(json.dumps(_RESULT), flush=True)
 
 
-atexit.register(_emit)
-
-
 def _sig_exit(signum, frame):
     log(f"signal {signum}: emitting result and exiting")
     sys.exit(1)  # runs atexit
 
 
-signal.signal(signal.SIGTERM, _sig_exit)
-signal.signal(signal.SIGINT, _sig_exit)
+def _install_emit_handlers():
+    """Called from main() only: importing bench (e.g. from tests) must not
+    leak the atexit JSON line or take over signal dispositions."""
+    atexit.register(_emit)
+    signal.signal(signal.SIGTERM, _sig_exit)
+    signal.signal(signal.SIGINT, _sig_exit)
 
 
 class PhaseTimeout(Exception):
@@ -311,6 +312,7 @@ def bench_chain(n: int, k: int, reps: int, side: dict):
 
 
 def main():
+    _install_emit_handlers()
     from halo_accumulation_tpu import runtime
 
     runtime.init()

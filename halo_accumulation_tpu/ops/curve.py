@@ -81,7 +81,10 @@ def _pallas_route(*arrs) -> bool:
     n = 1
     for s in arrs[0].shape[1:]:
         n *= s
-    return n >= 1024
+    # 256+ lanes: even padded to the kernel's 1024-lane floor, the fused
+    # kernel beats the ~40x-slower XLA elementwise path (verify paths run
+    # row-MSMs at a few hundred lanes - round-2's hidden fast-path cost)
+    return n >= 256
 
 
 def padd(P: PointVec, Q: PointVec) -> PointVec:

@@ -86,10 +86,14 @@ def num_windows(c: int) -> int:
 
 
 def _round_pad(m: int) -> int:
-    """Round a measured bucket count up to the next {2^k, 3*2^(k-1)} class:
-    bounds jit-cache growth while capping pad overhead at ~33%."""
+    """Round a bucket count up to the next size class: {2^k, 3*2^(k-1)}
+    below 2048 (bounds jit-cache growth, <= 33% overhead), multiples of
+    1024 above (the top window's pad at large N is thousands - 33% there
+    would waste megabytes of scatter columns per window)."""
     if m <= 2:
         return max(1, m)
+    if m > 2048:
+        return ((m + 1023) // 1024) * 1024
     p = 1
     while True:
         if p >= m:

@@ -88,12 +88,18 @@ def _untile(a):
 
 
 def _pad_lanes(arrs, tn):
-    """Zero-pad the lane axis of each (L, N) array to a POWER-OF-TWO
-    multiple of tn: bounds the set of kernel shapes (each distinct shape is
-    a separate Mosaic compile, ~10 s through the remote-compile tunnel)."""
+    """Zero-pad the lane axis of each (L, N) array up to the next
+    {2^k, 3*2^(k-1)} multiple of tn: bounds the set of kernel shapes (each
+    distinct shape is a separate Mosaic compile, ~10 s through the
+    remote-compile tunnel) while capping padding waste at ~33% (pure
+    powers of two wasted up to 2x on the tree-reduce level widths)."""
     N = arrs[0].shape[1]
     Np = tn
     while Np < N:
+        # 3*Np/2 must stay a multiple of the block width tn
+        if Np >= 2 * tn and 3 * Np // 2 >= N:
+            Np = 3 * Np // 2
+            break
         Np *= 2
     if Np == N:
         return arrs, N

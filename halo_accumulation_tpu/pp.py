@@ -120,22 +120,47 @@ _pp_cache: dict[int, PublicParams] = {}
 
 
 def get_pp(n: int, use_disk_cache: bool = True) -> PublicParams:
-    """Get (generate or load) the URS for n generators (n = max d + 1)."""
+    """Get (generate or load) the URS for n generators (n = max d + 1).
+
+    The URS is a global index sequence (S=gen(0), H=gen(1), G_i=gen(i+2),
+    main.rs:35-45), so the n-generator URS is a PREFIX of any larger one:
+    both the in-memory and the disk cache satisfy smaller requests by
+    slicing the largest cached URS instead of regenerating (URS generation
+    is ~minutes of compile through the remote tunnel at a fresh size)."""
     assert n & (n - 1) == 0, "URS size must be a power of two"
     if n in _pp_cache:
         return _pp_cache[n]
-    path = CACHE_DIR / f"urs_{n}.npz"
-    if use_disk_cache and path.exists():
-        z = np.load(path)
-        pp = PublicParams(
-            n,
-            jnp.asarray(z["gs_x"]),
-            jnp.asarray(z["gs_y"]),
-            (int(z["s_x"]), int(z["s_y"])),
-            (int(z["h_x"]), int(z["h_y"])),
-        )
+    bigger = [m for m in _pp_cache if m > n]
+    if bigger:
+        big = _pp_cache[min(bigger)]
+        pp = PublicParams(n, big.gs_x[:, :n], big.gs_y[:, :n], big.s, big.h)
         _pp_cache[n] = pp
         return pp
+    if use_disk_cache:
+        paths = [CACHE_DIR / f"urs_{n}.npz"]
+        if CACHE_DIR.is_dir():
+            cands = []
+            for q in CACHE_DIR.glob("urs_*.npz"):
+                try:
+                    m = int(q.stem.split("_")[1])
+                except ValueError:
+                    continue
+                if m > n:
+                    cands.append((m, q))
+            paths.extend(q for _, q in sorted(cands))
+        for path in paths:
+            if not path.exists():
+                continue
+            z = np.load(path)
+            pp = PublicParams(
+                n,
+                jnp.asarray(z["gs_x"][:, :n]),
+                jnp.asarray(z["gs_y"][:, :n]),
+                (int(z["s_x"]), int(z["s_y"])),
+                (int(z["h_x"]), int(z["h_y"])),
+            )
+            _pp_cache[n] = pp
+            return pp
 
     tables = _window_tables()
     # digit matrix (32, n+2): the 8-bit windows of a little-endian scalar

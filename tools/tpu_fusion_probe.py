@@ -22,6 +22,9 @@ Prints one line per configuration: OK / MISMATCH.
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 import sys
 

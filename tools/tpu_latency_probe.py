@@ -3,6 +3,9 @@ Informs how aggressively to fuse kernels (tunnel round-trips may dominate)."""
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 
 import numpy as np

@@ -6,6 +6,9 @@ the result; rate = K * work / (elapsed - tunnel latency)."""
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 
 import numpy as np

@@ -4,6 +4,9 @@ threshold.  Usage: python tools/tpu_msm_check.py [--n 4096] [--fused]."""
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 import sys
 import time

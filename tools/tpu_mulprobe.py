@@ -4,6 +4,9 @@ u32 accumulation)."""
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 
 import numpy as np

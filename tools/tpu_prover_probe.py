@@ -10,6 +10,9 @@ Usage: python tools/tpu_prover_probe.py [pow2 (default 9)]
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import sys
 import time
 
