@@ -186,6 +186,21 @@ def rows_from_points(points: cv.PointVec):
     return jnp.concatenate([arr.T, ident], axis=0)
 
 
+def rows_from_affine(xs, ys):
+    """Affine x/y limb planes (L, N) -> (N+1, 40) u32 rows (x || y || pad).
+    Z is NOT stored: the bucket kernel synthesizes Z in {0, 1} from the
+    slot sentinel, saving 37.5% of the gather/transpose bytes on the big
+    fixed-base MSMs (commit / decider, whose URS points are affine).  Row
+    N is the placeholder for empty slots (Z=0 there)."""
+    arr = jnp.concatenate([xs, ys], axis=0)  # (2L, N)
+    arr = jnp.pad(arr, ((0, 40 - 2 * L), (0, 0)))
+    # sentinel row: with its synthesized Z=0 it must decode as the
+    # identity (0:1:0), so y_0 = 1 (a (0,0,0) triple is NOT the identity
+    # under the complete formulas - it absorbs everything it touches)
+    ident = jnp.zeros((1, 40), jnp.uint32).at[0, L].set(1)
+    return jnp.concatenate([arr.T, ident], axis=0)
+
+
 def _rows_cached(points: cv.PointVec):
     N = points.x.shape[1]
     return cached_jit(rows_from_points, "rows", N)(points)
@@ -226,11 +241,23 @@ def _perm_slots(digits_g, pad: int, beff: int):
 def _bucket_group_rows(rows, src, c: int, pad: int, Wg: int, beff: int) -> cv.PointVec:
     """One window group's Pippenger partial from the row table + inverse
     permutation: gather -> transpose -> pad tree reduce -> suffix-scan
-    weighting -> Horner over the group's windows (msb first)."""
+    weighting -> Horner over the group's windows (msb first).
+
+    rows may be full (N+1, 64) projective rows or (N+1, 40) affine rows
+    (rows_from_affine); in the affine form Z is synthesized as
+    (src != sentinel), i.e. 1 for real points and 0 (identity) for empty
+    slots."""
     cols = Wg * beff
-    M = jnp.take(rows, src, axis=0)  # (pad*cols, 64) u32 rows
-    Mt = M.T.reshape(64, pad, cols)
-    P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Mt[2 * L : 3 * L])
+    lanes = rows.shape[1]
+    M = jnp.take(rows, src, axis=0)  # (pad*cols, lanes) u32 rows
+    Mt = M.T.reshape(lanes, pad, cols)
+    if lanes == 40:
+        nsent = jnp.int32(rows.shape[0] - 1)
+        z0 = (src != nsent).astype(jnp.uint32).reshape(1, pad, cols)
+        Z = jnp.concatenate([z0, jnp.zeros((L - 1, pad, cols), jnp.uint32)], axis=0)
+        P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Z)
+    else:
+        P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Mt[2 * L : 3 * L])
     S = cv.sum_points(P, axis=0)  # (L, cols) bucket sums
     S = cv.PointVec(*(a.reshape(L, Wg, beff) for a in S))
     # suffix sums SS_b = sum_{j>=b} S_j; weighted sum = sum_{b>=1} SS_b
@@ -258,9 +285,14 @@ def _expand_groups(pads: list[int], beffs: list[int]):
     return out
 
 
-def _rowperm_msm(points: cv.PointVec, scalars, c: int, pads: list[int], beffs: list[int]):
-    """Row-permutation MSM: returns (point, ok_device).  No host sync."""
-    rows = _rows_cached(points)
+def _rowperm_msm(
+    points: cv.PointVec, scalars, c: int, pads: list[int], beffs: list[int], rows=None
+):
+    """Row-permutation MSM: returns (point, ok_device).  No host sync.
+    rows: optional precomputed row table (full or affine form) - the URS
+    paths pass PublicParams.gs_rows to skip the per-call transpose."""
+    if rows is None:
+        rows = _rows_cached(points)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
     acc = None
     oks = []
@@ -348,7 +380,13 @@ def pinned_pads(n: int, c: int) -> list[int]:
     return [pad_for(max(1, top_bound - 1))] + [pad_for((1 << c) - 1)] * (W - 1)
 
 
-def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[int] | None = None):
+def msm_flagged(
+    points: cv.PointVec,
+    scalars,
+    c: int | None = None,
+    pads: list[int] | None = None,
+    rows=None,
+):
     """MSM with PINNED pads: no host round-trip before dispatch.  Returns
     (point, ok) where ok is a DEVICE bool - False means some bucket
     overflowed its pinned pad and the point is unreliable (the caller must
@@ -362,7 +400,7 @@ def msm_flagged(points: cv.PointVec, scalars, c: int | None = None, pads: list[i
         pads = pinned_pads(N, c)
     beffs = _beffs(c)
     if _impl() == "rowperm":
-        return _rowperm_msm(points, scalars, c, pads, beffs)
+        return _rowperm_msm(points, scalars, c, pads, beffs, rows=rows)
     if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
         pt = msm(points, scalars, c)
         return pt, jnp.asarray(True)
@@ -382,20 +420,21 @@ def _measure_pad(digits, c: int, tag: str = "w") -> int:
     return max(_measure_pads(digits, c, tag))
 
 
-def msm(points: cv.PointVec, scalars, c: int | None = None) -> cv.PointVec:
+def msm(points: cv.PointVec, scalars, c: int | None = None, rows=None) -> cv.PointVec:
     """MSM over the Pallas curve: sum_i scalars_i * points_i.
 
     points: PointVec with batch (N,); scalars: (L, N) Fr limbs.
     Default (rowperm) path: pinned pads, one device round per window group,
     then ONE host sync on the validity flag; the astronomically-rare pad
-    overflow falls back to the measured staged path.  Returns a single
-    projective point (batch ())."""
+    overflow falls back to the measured staged path.  rows: optional
+    precomputed row table (see _rowperm_msm).  Returns a single projective
+    point (batch ())."""
     N = points.x.shape[1]
     assert scalars.shape == (L, N)
     if c is None:
         c = window_size(N)
     if _impl() == "rowperm":
-        pt, ok = _rowperm_msm(points, scalars, c, pinned_pads(N, c), _beffs(c))
+        pt, ok = _rowperm_msm(points, scalars, c, pinned_pads(N, c), _beffs(c), rows=rows)
         if bool(np.asarray(ok)):
             return pt
         return _msm_measured(points, scalars, c)

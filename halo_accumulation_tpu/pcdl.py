@@ -176,7 +176,7 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
     assert k <= n
-    C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs))
+    C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs, rows=pp.gs_rows(k)))
     if w is not None:
         C = H.p_add(C, H.p_mul(w, pp.s))
     return C
@@ -569,7 +569,7 @@ def commit_device(coeffs, d: int, pp: pp_mod.PublicParams):
     assert n & (n - 1) == 0 and n <= pp.n
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
-    return msm_mod.msm_flagged(pp.gs_points(k), coeffs)
+    return msm_mod.msm_flagged(pp.gs_points(k), coeffs, rows=pp.gs_rows(k))
 
 
 def check_device(

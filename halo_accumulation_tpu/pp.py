@@ -95,11 +95,27 @@ class PublicParams:
         self.s = s
         self.h = h
         self._gs_host: list = []
+        self._gs_rows: dict[int, object] = {}
 
     def gs_points(self, n: int) -> cv.PointVec:
         """First n generators as a projective PointVec (Z=1)."""
         one = FQ.from_int(1, (n,))
         return cv.PointVec(self.gs_x[:, :n], self.gs_y[:, :n], one)
+
+    def gs_rows(self, n: int):
+        """First n generators as a cached (n+1, 40) AFFINE row table for
+        the row-permutation MSM (ops/msm.rows_from_affine): the fixed-base
+        commit/decider MSMs skip the per-call transpose and move 37.5%
+        fewer bytes than full projective rows."""
+        r = self._gs_rows.get(n)
+        if r is None:
+            from halo_accumulation_tpu.ops import msm as msm_mod
+
+            r = cached_jit(msm_mod.rows_from_affine, "gsrows", n)(
+                self.gs_x[:, :n], self.gs_y[:, :n]
+            )
+            self._gs_rows[n] = r
+        return r
 
     def gs_host(self, k: int = 8) -> list:
         """First k generators as host affine int pairs (cached prefix).

@@ -106,6 +106,24 @@ def test_msm_rowperm_overflow_flag(rng, monkeypatch):
     assert run_msm(pts, ss, c=4) == F.p_msm(ss, pts)
 
 
+def test_msm_affine_rows(rng, monkeypatch):
+    """Affine (x||y, Z synthesized from the slot sentinel) row tables must
+    match the oracle, including zero scalars (all-sentinel buckets) whose
+    slots must decode as the identity (0:1:0), not (0:0:0)."""
+    monkeypatch.setenv("HALO_TPU_MSM_IMPL", "rowperm")
+    n = 64
+    pts = rand_points(rng, n)
+    P = cv.from_affine_ints(pts)
+    rows = msm.rows_from_affine(P.x, P.y)
+    for ss in (
+        [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)],
+        [7, 11] + [0] * (n - 2),  # zero-heavy: most slots are sentinels
+    ):
+        s = FR.from_ints(ss)
+        got = msm.msm(P, s, c=4, rows=rows)
+        assert run_point(got) == F.p_msm(ss, pts)
+
+
 def test_crosscheck_paths_differ(rng, monkeypatch):
     """bench.py's rowperm-vs-staged cross-check must dispatch two GENUINELY
     different pipelines (round-2 VERDICT: the old check compared the staged
