@@ -242,20 +242,33 @@ def bench_h(side: dict, n: int = 256, k: int = 16):
     side["h_eval_us"] = round(dt * 1e6, 2)
 
     # h_get_poly: dense O(n) tensor expansion on device (vs the reference's
-    # serial poly-mult chain, pcdl.rs:56-77)
-    xis_dev = FR.from_ints(xis)
+    # serial poly-mult chain, pcdl.rs:56-77).  Distinct inputs per rep + a
+    # forced fetch (tunnel-safe; see bench_msm).
+    import jax.numpy as jnp
+
     fn = cached_jit(poly_mod.tensor_h_coeffs, lg_n)
-    jax.block_until_ready(fn(xis_dev))
-    dt = time_best(lambda: jax.block_until_ready(fn(xis_dev)), 3)
-    side["h_get_poly_ms"] = round(dt * 1e3, 3)
+    xis_vars = [
+        FR.from_ints([x * (i + 1) % F.R for x in xis]) for i in range(3)
+    ]
+    np.asarray(fn(xis_vars[0]))
+    dts = []
+    for xv in xis_vars:
+        t0 = time.perf_counter()
+        np.asarray(fn(xv)[:, -1])
+        dts.append(time.perf_counter() - t0)
+    side["h_get_poly_ms"] = round(min(dts) * 1e3, 3)
 
     # h_eval_naive: dense n-coefficient evaluation on device (h.rs:46-60)
-    coeffs = fn(xis_dev)
-    zl = FR.from_ints([zs[0]])[:, 0]
+    coeffs = fn(xis_vars[0])
     ev = cached_jit(poly_mod.eval_poly, n)
-    jax.block_until_ready(ev(coeffs, zl))
-    dt = time_best(lambda: jax.block_until_ready(ev(coeffs, zl)), 3)
-    side["h_eval_naive_ms"] = round(dt * 1e3, 3)
+    zvars = [FR.from_ints([z])[:, 0] for z in zs[:3]]
+    np.asarray(ev(coeffs, zvars[0]))
+    dts = []
+    for zl in zvars:
+        t0 = time.perf_counter()
+        np.asarray(ev(coeffs, zl))
+        dts.append(time.perf_counter() - t0)
+    side["h_eval_naive_ms"] = round(min(dts) * 1e3, 3)
     log(
         f"h benches (n={n}, k={k}): eval {side['h_eval_us']} us, "
         f"get_poly {side['h_get_poly_ms']} ms, naive eval {side['h_eval_naive_ms']} ms"

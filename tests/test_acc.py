@@ -15,7 +15,7 @@ N_URS = 16
 
 @pytest.fixture(scope="module")
 def pp():
-    return pp_mod.get_pp(N_URS, use_disk_cache=False)
+    return pp_mod.get_pp(N_URS, use_disk_cache=True)
 
 
 def rand_fr(rng, n):

@@ -14,7 +14,7 @@ from halo_accumulation_tpu import pp as pp_mod
 
 @pytest.fixture(scope="module")
 def pp():
-    return pp_mod.get_pp(16, use_disk_cache=False)
+    return pp_mod.get_pp(16, use_disk_cache=True)
 
 
 def test_verify_chain_matches_stepwise(rng, pp):

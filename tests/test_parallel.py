@@ -49,7 +49,7 @@ def test_open_fold_sharded_matches(rng):
     from halo_accumulation_tpu import chain, pcdl
     from halo_accumulation_tpu import pp as pp_mod
 
-    pp = pp_mod.get_pp(16, use_disk_cache=False)
+    pp = pp_mod.get_pp(16, use_disk_cache=True)
     mesh = pms.make_mesh(8)
     d = 15
     coeffs = [chain.rand_scalar(rng) for _ in range(d + 1)]
@@ -66,12 +66,33 @@ def test_open_fold_sharded_matches(rng):
     pcdl.check(C, d, z, v, pi_sharded, pp)
 
 
+def test_verify_chain_sharded(rng):
+    """The headline fast path with a mesh: batched succinct checks + U_0
+    rows sharded over the instance axis, decider's n-MSM sharded over
+    points - must accept a valid chain and reject a tampered one, exactly
+    like the single-device path."""
+    from halo_accumulation_tpu import acc as acc_mod, chain
+    from halo_accumulation_tpu import pp as pp_mod
+
+    pp = pp_mod.get_pp(16, use_disk_cache=True)
+    mesh = pms.make_mesh(8)
+    d, qss, accs = chain.build_chain(rng, 16, 2, pp)
+    acc_mod.verify_chain(d, qss, accs, pp, mesh=mesh, axis=pms.AXIS)
+    acc_mod.verify_chain(d, qss, accs, pp)
+    bad = acc_mod.Accumulator(
+        accs[-1].C_bar, accs[-1].d, accs[-1].z, (accs[-1].v + 1) % F.R,
+        accs[-1].pi, accs[-1].pi_V,
+    )
+    with pytest.raises(ValueError):
+        acc_mod.verify_chain(d, qss, accs[:-1] + [bad], pp, mesh=mesh, axis=pms.AXIS)
+
+
 def test_succinct_check_batch_sharded(rng):
     """Instance-batch (dp) sharding of the batched succinct check."""
     from halo_accumulation_tpu import chain, pcdl
     from halo_accumulation_tpu import pp as pp_mod
 
-    pp = pp_mod.get_pp(16, use_disk_cache=False)
+    pp = pp_mod.get_pp(16, use_disk_cache=True)
     mesh = pms.make_mesh(4)
     qs = [chain.random_instance(rng, 15, pp) for _ in range(2)]
     checks = [(q.C, q.d, q.z, q.v, q.pi) for q in qs] * 4

@@ -16,7 +16,7 @@ N_URS = 64
 
 @pytest.fixture(scope="module")
 def pp():
-    return pp_mod.get_pp(N_URS, use_disk_cache=False)
+    return pp_mod.get_pp(N_URS, use_disk_cache=True)
 
 
 def rand_fr(rng, n):
@@ -60,7 +60,9 @@ def test_check_e2e_1024(rng):
     """One d+1 = 2^10 end-to-end (larger than the reference's test degrees,
     pcdl.rs:441-461 caps at 2^9): exercises the width-class ladder of the
     open() inner loop and the multi-group MSM at a realistic size."""
-    pp1k = pp_mod.get_pp(1024, use_disk_cache=False)
+    # prefix-sliced from the largest cached URS (pp.get_pp): regeneration
+    # here cost minutes of XLA:CPU compiles and was the suite's sinkhole
+    pp1k = pp_mod.get_pp(1024)
     d = 1023
     p = rand_fr(rng, 700)  # deg 699: pads through non-pow2 width classes
     w = rand_fr(rng, 1)[0]
