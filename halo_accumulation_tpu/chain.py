@@ -81,12 +81,16 @@ def deserialize_instance(b: bytes):
     return acc_mod.Instance(C=C, d=d, z=z, v=v, pi=pi), off
 
 
+CHAIN_MAGIC = b"HALOCHN2"  # format tag (ADVICE r3: version the cache)
+
+
 def save_chain(path, d: int, qss, accs) -> None:
     """Persist a built chain (setup state, not timed work - criterion
-    likewise excludes chain construction from the measured helpers)."""
+    likewise excludes chain construction from the measured helpers).
+    Format: magic tag || d u64 || k u64 || per-step records."""
     import pathlib
 
-    out = [d.to_bytes(8, "little"), len(accs).to_bytes(8, "little")]
+    out = [CHAIN_MAGIC, d.to_bytes(8, "little"), len(accs).to_bytes(8, "little")]
     for qs, acc in zip(qss, accs):
         out.append(len(qs).to_bytes(8, "little"))
         out.extend(q.serialize() for q in qs)
@@ -102,6 +106,10 @@ def load_chain(path):
     """Load a chain saved by save_chain: returns (d, qss, accs)."""
     b = __import__("pathlib").Path(path).read_bytes()
     off = 0
+    # legacy (round-3) caches carry no magic; their first field is d <= 2^22,
+    # which can never collide with the magic's first byte 'H' = 0x48
+    if b[:8] == CHAIN_MAGIC:
+        off = 8
     d = int.from_bytes(b[off : off + 8], "little")
     off += 8
     k = int.from_bytes(b[off : off + 8], "little")

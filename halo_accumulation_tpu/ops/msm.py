@@ -6,10 +6,13 @@ Replaces arkworks' VariableBaseMSM::msm_unchecked
 with scatter loops and per-thread serial accumulation; TPUs have neither
 atomics nor per-lane control flow, so the bucket phase is restructured as
 
-  sort-by-digit -> rank-in-bucket -> scatter into a (buckets x PAD) matrix
-  -> identity-padded tree reduction over PAD -> suffix-scan weighted sum,
+  sort-by-digit -> rank-in-bucket -> int32 inverse permutation -> one row
+  gather -> IN-KERNEL pad-axis reduction (pallas_kernels.bucket_accum) ->
+  suffix-doubling weighted sum (fori_loop at one fixed shape),
 
-all branchless vectorized complete-adds.  Key properties:
+all branchless vectorized complete-adds, with O(1) HLO size in pad and
+bucket count (round 4: the remote XLA compile service cannot finish the
+unrolled multi-level trees earlier rounds emitted).  Key properties:
 
   * Zero digits are routed to bucket 0, which carries weight 0 in the
     weighted sum: a "dump" bucket.  Rank clamping makes lanes with zero
@@ -35,9 +38,9 @@ all branchless vectorized complete-adds.  Key properties:
     layouts) spent >90% of its time in XLA data movement
     (tools/tpu_stage_probe.py: 290 ms scatter + 133 ms tree vs ~10 ms of
     point math at N=2^14).
-  * HALO_TPU_MSM_IMPL=staged selects the older 4-dispatch staged pipeline
-    (_bucket_sums -> _suffix_mask -> _window_reduce -> _horner_combine)
-    with measured pads: the correctness backstop (bench.py cross-checks
+  * HALO_TPU_MSM_IMPL=staged selects the older staged pipeline
+    (_bucket_sums -> _weight_and_combine) with measured pads: the
+    correctness backstop (bench.py cross-checks
     rowperm vs staged on device at startup), the overflow fallback, and
     the building block of the sharded MSM.  Its point-chunked fallback
     bounds memory under any digit skew (skew only increases the chunk
@@ -71,7 +74,11 @@ def window_size(n: int) -> int:
     W*B*pad ~ W*N*(pad/mean) against the suffix scan's W*B*c and the
     per-window sort/gather overhead."""
     if n >= (1 << 18):
-        return 13
+        # 12, not 13: (c + lg N) <= 32 keeps the perm build on the packed
+        # single-operand sort at N = 2^20 (the sort dominates large-N MSM
+        # wall clock), and the smaller bucket space more than pays for the
+        # extra two windows (22*4096*384 < 20*8192*256 scatter columns).
+        return 12
     if n >= (1 << 15):
         return 10
     if n >= (1 << 11):
@@ -187,16 +194,19 @@ def rows_from_points(points: cv.PointVec):
 
 
 def rows_from_affine(xs, ys):
-    """Affine x/y limb planes (L, N) -> (N+1, 40) u32 rows (x || y || pad).
-    Z is NOT stored: the bucket kernel synthesizes Z in {0, 1} from the
-    slot sentinel, saving 37.5% of the gather/transpose bytes on the big
-    fixed-base MSMs (commit / decider, whose URS points are affine).  Row
-    N is the placeholder for empty slots (Z=0 there)."""
-    arr = jnp.concatenate([xs, ys], axis=0)  # (2L, N)
-    arr = jnp.pad(arr, ((0, 40 - 2 * L), (0, 0)))
-    # sentinel row: with its synthesized Z=0 it must decode as the
-    # identity (0:1:0), so y_0 = 1 (a (0,0,0) triple is NOT the identity
-    # under the complete formulas - it absorbs everything it touches)
+    """Affine x/y limb planes (L, N) -> (N+1, 40) u32 rows
+    (x || y || z-indicator || pad).  Lane 2L carries Z's low limb directly
+    (1 for real points, 0 for the sentinel): full Z is NOT stored, saving
+    37.5% of the gather/transpose bytes on the big fixed-base MSMs
+    (commit / decider, whose URS points are affine).  Row N is the
+    placeholder for empty slots; with Z=0 and y_0=1 it decodes as the
+    identity (0:1:0) (a (0,0,0) triple is NOT the identity under the
+    complete formulas - it absorbs everything it touches)."""
+    N = xs.shape[1]
+    arr = jnp.concatenate(
+        [xs, ys, jnp.ones((1, N), jnp.uint32), jnp.zeros((40 - 2 * L - 1, N), jnp.uint32)],
+        axis=0,
+    )
     ident = jnp.zeros((1, 40), jnp.uint32).at[0, L].set(1)
     return jnp.concatenate([arr.T, ident], axis=0)
 
@@ -208,7 +218,7 @@ def _rows_cached(points: cv.PointVec):
 
 def _perm_slots(digits_g, pad: int, beff: int):
     """Inverse permutation for one window group: digits_g (Wg, N) ->
-    (src (pad*Wg*beff,) int32 with sentinel N for empty slots, ok bool).
+    (src (pad, Wg*beff) int32 with sentinel N for empty slots, ok bool).
 
     GATHER-ONLY construction (no XLA scatter, no per-element searchsorted -
     both measured 20-40x slower than this on TPU): argsort the digits, then
@@ -219,11 +229,29 @@ def _perm_slots(digits_g, pad: int, beff: int):
     may overflow freely: bucket 0 is the dump bucket, masked out of the
     weighted sum)."""
     Wg, N = digits_g.shape
-    order = jnp.argsort(digits_g, axis=1).astype(jnp.int32)
-    sd = jnp.take_along_axis(digits_g, order.astype(jnp.uint32), axis=1)
-    bvals = jnp.arange(beff, dtype=sd.dtype)
-    first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(sd)
-    nxt = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(sd)
+    ibits = max(1, (N - 1).bit_length())
+    if beff << ibits <= 1 << 32:
+        # PACKED single-operand sort: key = (digit << ibits) | index.  One
+        # u32 sort moves half the bytes of the (key, value) argsort pair
+        # and skips the take_along_axis re-gather; packing preserves
+        # digit-major order, so bucket boundaries come from searchsorted on
+        # the packed keys directly.  The sort is the dominant non-point
+        # cost of the whole MSM at large N.
+        iota = jnp.arange(N, dtype=jnp.uint32)[None]
+        key = (digits_g.astype(jnp.uint32) << np.uint32(ibits)) | iota
+        skey = jnp.sort(key, axis=1)
+        bvals = (jnp.arange(beff, dtype=jnp.uint32) << np.uint32(ibits))
+        first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(skey)
+        nxt = jax.vmap(
+            lambda row: jnp.searchsorted(row, bvals + (1 << ibits), side="left")
+        )(skey)
+        order = (skey & jnp.uint32((1 << ibits) - 1)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(digits_g, axis=1).astype(jnp.int32)
+        sd = jnp.take_along_axis(digits_g, order.astype(jnp.uint32), axis=1)
+        bvals = jnp.arange(beff, dtype=sd.dtype)
+        first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(sd)
+        nxt = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(sd)
     count = (nxt - first).astype(jnp.int32)  # (Wg, beff)
     ok = jnp.max(count[:, 1:]) <= pad
     p = jnp.arange(pad, dtype=jnp.int32)[:, None, None]  # (pad, 1, 1)
@@ -235,43 +263,150 @@ def _perm_slots(digits_g, pad: int, beff: int):
         axis=1,
     ).reshape(Wg, pad, beff)
     src = jnp.where(jnp.moveaxis(valid, 0, 1), got, N)  # (Wg, pad, beff)
-    return jnp.moveaxis(src, 1, 0).reshape(pad * Wg * beff), ok
+    return jnp.moveaxis(src, 1, 0).reshape(pad, Wg * beff), ok
 
 
-def _bucket_group_rows(rows, src, c: int, pad: int, Wg: int, beff: int) -> cv.PointVec:
-    """One window group's Pippenger partial from the row table + inverse
-    permutation: gather -> transpose -> pad tree reduce -> suffix-scan
-    weighting -> Horner over the group's windows (msb first).
+def _bucket_cols() -> int:
+    """Column granularity of the Pallas bucket kernel (br * 128 lanes)."""
+    from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+    return pk._block_rows() * 128
+
+
+def _bucket_group_rows(rows, src, pad: int, Wg: int, beff: int) -> cv.PointVec:
+    """One window group's per-window weighted bucket sums (L, Wg) from the
+    row table + inverse permutation: gather -> transpose -> in-kernel pad
+    reduction -> suffix-doubling weighting.  The cross-window Horner runs
+    ONCE over all groups' outputs in _rowperm_msm (a per-group Horner +
+    single-point shift_add chain doubled the sequential tail that
+    dominates small-N latency).
 
     rows may be full (N+1, 64) projective rows or (N+1, 40) affine rows
-    (rows_from_affine); in the affine form Z is synthesized as
-    (src != sentinel), i.e. 1 for real points and 0 (identity) for empty
-    slots."""
+    (rows_from_affine, whose lane 2L carries Z's low limb: 1 for real
+    points, 0 for the identity sentinel that fills empty slots).
+    src: (pad, Wg*beff) int32 inverse permutation from _perm_slots.
+
+    Every stage is O(1) in HLO size: the pad reduction is ONE Pallas
+    kernel revisiting its output block across a sequential grid axis
+    (pallas_kernels.bucket_accum), and the bucket weighting runs as
+    fori_loops over a single fixed padd shape.  (Round 3 unrolled a
+    7-level pad tree + suffix scan into one giant XLA graph; the remote
+    compile service cannot even finish such graphs - BENCH_r03.)"""
     cols = Wg * beff
     lanes = rows.shape[1]
-    M = jnp.take(rows, src, axis=0)  # (pad*cols, lanes) u32 rows
-    Mt = M.T.reshape(lanes, pad, cols)
-    if lanes == 40:
-        nsent = jnp.int32(rows.shape[0] - 1)
-        z0 = (src != nsent).astype(jnp.uint32).reshape(1, pad, cols)
-        Z = jnp.concatenate([z0, jnp.zeros((L - 1, pad, cols), jnp.uint32)], axis=0)
-        P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Z)
+    nsent = rows.shape[0] - 1
+    from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+    # The in-kernel reduction currently runs only for the affine (40-lane)
+    # row form: every production fixed-base MSM (commit/decider, the
+    # headline paths) uses it via pp.gs_rows.  The projective (64-lane)
+    # variant compiles but is quarantined until its Mosaic compile time is
+    # validated on hardware (a mid-compile kill wedges the remote compile
+    # service for ~40 min - see tools/tpu_kernel_ladder.py); projective
+    # inputs take the sequential-fori fallback below, which reuses the
+    # fixed-shape Pallas padd.
+    use_kernel = pk.enabled() and jax.default_backend() == "tpu" and lanes == 40
+    g = _bucket_cols() if use_kernel else 1024
+    # K-way pad folding: when the group has fewer columns than one kernel
+    # block (g lanes), slot (p, col) is re-laid-out to
+    # (p // K, col * K + p % K) so the otherwise-idle lanes absorb K slices
+    # of the pad axis and the sequential reduction shrinks K-fold (the
+    # c=12 top window at N=2^20 has 8 columns x ~150k pad - unfolded, the
+    # reduction would run 150k near-empty steps).  The K partials per
+    # column are tree-combined by _strided_sum.  The XLA fallback shares
+    # the same relayout (same win for its sequential fori).
+    K = 1
+    while cols * K * 2 <= g and K * 2 <= pad:
+        K *= 2
+    padq = (pad + K - 1) // K
+    if padq * K > pad:
+        src = jnp.pad(src, ((0, padq * K - pad), (0, 0)), constant_values=nsent)
+    if K > 1:
+        src = jnp.moveaxis(src.reshape(padq, K, cols), 1, 2).reshape(padq, cols * K)
+    colsK = cols * K
+    if use_kernel:
+        colsP = ((colsK + g - 1) // g) * g
+        if colsP > colsK:
+            src = jnp.pad(src, ((0, 0), (0, colsP - colsK)), constant_values=nsent)
+        M = jnp.take(rows, src.reshape(padq * colsP), axis=0)  # (padq*colsP, lanes)
+        Mt = M.T.reshape(lanes, padq, colsP)
+        ox, oy, oz = pk.bucket_accum(Mt)
+        S = cv.PointVec(*(o[:, :colsK].reshape(L, cols, K) for o in (ox, oy, oz)))
     else:
-        P = cv.PointVec(Mt[0:L], Mt[L : 2 * L], Mt[2 * L : 3 * L])
-    S = cv.sum_points(P, axis=0)  # (L, cols) bucket sums
-    S = cv.PointVec(*(a.reshape(L, Wg, beff) for a in S))
-    # suffix sums SS_b = sum_{j>=b} S_j; weighted sum = sum_{b>=1} SS_b
-    T = S
-    sh = 1
-    while sh < beff:
-        shifted = cv.PointVec(
-            *(jnp.concatenate([a[:, :, sh:], cv.identity((Wg, sh))[i]], axis=2)
-              for i, a in enumerate(T))
+        M = jnp.take(rows, src.reshape(padq * colsK), axis=0)
+        Mt = M.T.reshape(lanes, padq, colsK)
+
+        def slot(p):
+            sl = jax.lax.dynamic_slice_in_dim(Mt, p, 1, axis=1)[:, 0]  # (lanes, colsK)
+            if lanes == 40:
+                Z = jnp.concatenate(
+                    [sl[2 * L : 2 * L + 1], jnp.zeros((L - 1, colsK), jnp.uint32)], axis=0
+                )
+                return cv.PointVec(sl[0:L], sl[L : 2 * L], Z)
+            return cv.PointVec(sl[0:L], sl[L : 2 * L], sl[2 * L : 3 * L])
+
+        # sequential fori over the folded pad axis: one compiled padd shape
+        # (mirrors the in-kernel reduction; HLO stays O(1) in pad)
+        S = jax.lax.fori_loop(
+            1, padq, lambda p, acc: cv.padd(acc, slot(p)), slot(0)
         )
-        T = cv.padd(T, shifted)
-        sh *= 2
-    V = cv.sum_points(cv.PointVec(*(a[:, :, 1:] for a in T)), axis=1)  # (L, Wg)
-    return _horner_combine(tuple(V), c)
+        S = cv.PointVec(*(a.reshape(L, cols, K) for a in S))
+    if K > 1:
+        S = _strided_sum(S, K)
+    else:
+        S = cv.PointVec(S.x[:, :, 0], S.y[:, :, 0], S.z[:, :, 0])
+    S = cv.PointVec(*(a.reshape(L, Wg, beff) for a in S))
+    return _suffix_weight(S, beff)  # (L, Wg)
+
+
+def _shift_body(ident: cv.PointVec, n: int):
+    """fori body T -> T + (T shifted left by 2^i along the last axis,
+    identity-filled): the shared building block of suffix sums and strided
+    reductions, at ONE fixed padd shape."""
+
+    def body(i, T):
+        sh = jnp.int32(1) << i
+        shifted = cv.PointVec(
+            *(
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.concatenate([a, ia], axis=2), sh, n, axis=2
+                )
+                for a, ia in zip(T, ident)
+            )
+        )
+        return cv.padd(T, shifted)
+
+    return body
+
+
+def _strided_sum(T: cv.PointVec, K: int) -> cv.PointVec:
+    """Sum the last axis (size K, a power of two) with complete adds:
+    log2(K) shift-add steps; position 0 accumulates the total."""
+    ident = cv.identity(T.x.shape[1:])
+    T = jax.lax.fori_loop(0, K.bit_length() - 1, _shift_body(ident, K), T)
+    return cv.PointVec(T.x[:, :, 0], T.y[:, :, 0], T.z[:, :, 0])
+
+
+def _suffix_weight(S: cv.PointVec, beff: int) -> cv.PointVec:
+    """Weighted bucket sum sum_{b>=1} b * S_b per window: (L, Wg, beff) ->
+    (L, Wg).
+
+    Two suffix-doubling passes at ONE fixed shape (a fori_loop whose body
+    adds a dynamically-shifted copy, identity-filled via concat+slice):
+    pass 1 turns S into suffix sums SS_b = sum_{j>=b} S_j; masking bucket 0
+    and running the same pass again leaves sum_{b>=1} SS_b = sum b*S_b at
+    position 0.  2*lg(beff) point adds per lane, one compiled padd shape."""
+    Wg = S.x.shape[1]
+    if beff == 1:
+        # only the dump bucket: weighted sum is the identity
+        return cv.identity((Wg,))
+    ident = cv.identity((Wg, beff))
+    lgB = beff.bit_length() - 1
+    body = _shift_body(ident, beff)
+    T = jax.lax.fori_loop(0, lgB, body, S)
+    T = cv.pselect(jnp.arange(beff) >= 1, T, ident)
+    T = jax.lax.fori_loop(0, lgB, body, T)
+    return cv.PointVec(T.x[:, :, 0], T.y[:, :, 0], T.z[:, :, 0])
 
 
 def _expand_groups(pads: list[int], beffs: list[int]):
@@ -294,7 +429,7 @@ def _rowperm_msm(
     if rows is None:
         rows = _rows_cached(points)
     digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
-    acc = None
+    Vs = []
     oks = []
     for w0, w1, beff, pad in _expand_groups(pads, beffs):
         Wg = w1 - w0
@@ -302,26 +437,22 @@ def _rowperm_msm(
             digits[w0:w1], pad, beff
         )
         part = cached_jit(
-            _bucket_group_rows, "bg", c, pad, Wg, beff, static_argnums=(2, 3, 4, 5)
-        )(rows, src, c, pad, Wg, beff)
+            _bucket_group_rows, "bg", pad, Wg, beff, static_argnums=(2, 3, 4)
+        )(rows, src, pad, Wg, beff)
         oks.append(okv)
-        if acc is None:
-            acc = part
-        else:
-            sa = cached_jit(_shift_add, "sa", c * Wg, static_argnums=2)
-            acc = sa(acc, part, c * Wg)
+        Vs.append(part)
+    # groups are consecutive msb-first window runs: concat + ONE Horner
+    if len(Vs) == 1:
+        V = Vs[0]
+    else:
+        V = cv.PointVec(*(jnp.concatenate([v[i] for v in Vs], axis=1) for i in range(3)))
+    acc = cached_jit(_horner_combine, "hc", c, V.x.shape[1], static_argnums=1)(tuple(V), c)
     ok = cached_jit(_all_true, "ok", len(oks), static_argnums=())(jnp.stack(oks))
     return acc, ok
 
 
 def _all_true(flags):
     return jnp.all(flags)
-
-
-def _shift_add(acc: cv.PointVec, part: cv.PointVec, k: int) -> cv.PointVec:
-    """acc * 2^k + part (combining window-group partials, msb first)."""
-    acc = jax.lax.fori_loop(0, k, lambda _, p: cv.pdbl(p), acc)
-    return cv.padd(acc, part)
 
 
 def _group_windows(pads: list[int], beffs: list[int]):
@@ -354,9 +485,16 @@ def _staged_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: lis
     S = outs[0] if len(outs) == 1 else tuple(
         jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3)
     )
-    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(S, c)
-    r = cached_jit(_window_reduce, "wr")(t)
-    return cached_jit(_horner_combine, "hc", c, static_argnums=1)(r, c)
+    return cached_jit(_weight_and_combine, "wc", c, static_argnums=1)(S, c)
+
+
+def _weight_and_combine(S, c: int):
+    """Staged stages 2-4 in one jit: (W, L, B) bucket-sum stack ->
+    suffix-doubling weighted sums -> Horner window combine."""
+    B = S[0].shape[2]
+    T = cv.PointVec(*(jnp.moveaxis(a, 0, 1) for a in S))  # (L, W, B)
+    V = _suffix_weight(T, B)  # (L, W)
+    return _horner_combine(tuple(V), c)
 
 
 def _pads_ok(digits, c: int, pads: tuple):
@@ -492,9 +630,7 @@ def _msm_measured(points: cv.PointVec, scalars, c: int | None = None) -> cv.Poin
             Sk = _bucket_sums(pk, digits[:, lo:hi], c, padk)
             S = Sk if S is None else comb(S, Sk)
 
-    t = cached_jit(_suffix_mask, "sm", c, static_argnums=1)(S, c)
-    r = cached_jit(_window_reduce, "wr")(t)
-    return cached_jit(_horner_combine, "hc", c, static_argnums=1)(r, c)
+    return cached_jit(_weight_and_combine, "wc", c, static_argnums=1)(S, c)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,100 @@ def padd(P1, P2):
     return tuple(_untile(o)[:, :N] for o in (ox, oy, oz))
 
 
+# ---------------------------------------------------------------------------
+# Bucket-accumulation kernel for the row-permutation MSM (ops/msm.py).
+#
+# Input: the gathered scatter matrix laid out (lanes, pad, R, 128) u32 where
+# lanes is a row-table width (40 = affine x||y||z-indicator, 64 = projective
+# x||y||z||pad) and R*128 = padded column count.  The kernel reduces the pad
+# axis with complete point adds INSIDE one Mosaic kernel: grid is
+# (R//br, pad) with the pad axis innermost and the output block revisited
+# across it (index map ignores p), so the accumulator lives in VMEM for the
+# whole column sweep and the reduction costs ONE kernel compile instead of
+# the log2(pad) per-level XLA dispatch tree the round-3 path unrolled (the
+# >1200 s compile that killed BENCH_r03).
+
+
+def _bucket_kernel_aff(in_ref, ox, oy, oz):
+    p = pl.program_id(1)
+    xs = [in_ref[i, 0] for i in range(L)]
+    ys = [in_ref[L + i, 0] for i in range(L)]
+    z0 = in_ref[2 * L, 0]  # 1 for real rows, 0 for the identity sentinel
+    zero = z0 - z0
+    zs = [z0] + [zero] * (L - 1)
+
+    @pl.when(p == 0)
+    def _():
+        # identity accumulator (0 : 1 : 0)
+        for i in range(L):
+            ox[i] = zero
+            oy[i] = zero + jnp.uint32(1) if i == 0 else zero
+            oz[i] = zero
+
+    acc = (_split(ox), _split(oy), _split(oz))
+    nx, ny, nz = padd_limbs(acc, (xs, ys, zs))
+    _store(ox, nx)
+    _store(oy, ny)
+    _store(oz, nz)
+
+
+def _bucket_kernel_proj(in_ref, ox, oy, oz):
+    p = pl.program_id(1)
+    xs = [in_ref[i, 0] for i in range(L)]
+    ys = [in_ref[L + i, 0] for i in range(L)]
+    zs = [in_ref[2 * L + i, 0] for i in range(L)]
+    zero = xs[0] - xs[0]
+
+    @pl.when(p == 0)
+    def _():
+        for i in range(L):
+            ox[i] = zero
+            oy[i] = zero + jnp.uint32(1) if i == 0 else zero
+            oz[i] = zero
+
+    acc = (_split(ox), _split(oy), _split(oz))
+    nx, ny, nz = padd_limbs(acc, (xs, ys, zs))
+    _store(ox, nx)
+    _store(oy, ny)
+    _store(oz, nz)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret", "br"))
+def _bucket_call(Mt, lanes: int, interpret: bool, br: int = 8):
+    _, pad, R, _ = Mt.shape
+    in_spec = pl.BlockSpec(
+        (lanes, 1, br, 128), lambda j, p: (0, p, j, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((L, br, 128), lambda j, p: (0, j, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, R, 128), jnp.uint32)
+    kern = _bucket_kernel_aff if lanes == 40 else _bucket_kernel_proj
+    return pl.pallas_call(
+        kern,
+        out_shape=(shape, shape, shape),
+        grid=(R // br, pad),
+        in_specs=[in_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(Mt)
+
+
+def bucket_accum(Mt):
+    """Reduce the pad axis of a gathered row matrix with complete adds.
+
+    Mt: (lanes, pad, colsP) u32 with colsP a multiple of br*128 and lanes in
+    {40, 64} (see ops/msm.rows_from_affine / rows_from_points).  Returns
+    (x, y, z) each (L, colsP): per-column bucket sums."""
+    lanes, pad, colsP = Mt.shape
+    br = _block_rows()
+    assert colsP % (br * 128) == 0, colsP
+    Mt4 = Mt.reshape(lanes, pad, colsP // 128, 128)
+    ox, oy, oz = _bucket_call(Mt4, lanes, _interpret(), br)
+    return tuple(o.reshape(L, colsP) for o in (ox, oy, oz))
+
+
 def _pdbl_kernel(x, y, z, ox, oy, oz):
     P = limbs.pdbl_list(_LF, (_split(x), _split(y), _split(z)))
     _store(ox, P[0])

@@ -98,9 +98,7 @@ def msm_sharded(points: cv.PointVec, scalars, mesh: Mesh, c: int | None = None) 
 
     out = _sharded_fn(mesh, c, pad)(points, digits)  # (3, W, L, B) replicated
     S = tuple(out[i] for i in range(3))
-    t = cached_jit(msm_mod._suffix_mask, "sm", c, static_argnums=1)(S, c)
-    r = cached_jit(msm_mod._window_reduce, "wr")(t)
-    return cached_jit(msm_mod._horner_combine, "hc", c, static_argnums=1)(r, c)
+    return cached_jit(msm_mod._weight_and_combine, "wc", c, static_argnums=1)(S, c)
 
 
 @functools.lru_cache(maxsize=None)

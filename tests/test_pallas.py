@@ -82,3 +82,43 @@ def test_padd_pdbl_list_parity(rng):
     got = cv.PointVec(jnp.stack(dx), jnp.stack(dy), jnp.stack(dz))
     want = cached_jit(cv.pdbl)(P)
     assert bool(np.asarray(cached_jit(cv.peq)(got, want)).all())
+
+
+@pytest.mark.slow
+def test_bucket_accum_parity(rng):
+    """The in-kernel pad-reduction (bucket_accum, the rowperm MSM hot
+    kernel) == a plain gather + tree-sum, through the Pallas interpreter on
+    CPU at one small (pad=2, 128-col) grid.  Covers both row forms (affine
+    40-lane with the z-indicator lane, projective 64-lane) and sentinel
+    (empty-slot) handling.  Marked slow: the interpreter expands each
+    in-kernel padd to thousands of host ops (~minutes on a small CPU); the
+    fast-path validation of the same kernel is tools/tpu_msm_check.py and
+    bench.py's rowperm-vs-staged cross-check on TPU."""
+    from halo_accumulation_tpu.ops import msm as msm_mod
+
+    n, pad, cols = 24, 2, 128
+    pts = [p for p in _rand_points(rng, n + 2) if p is not None][:n]
+    P = cv.from_affine_ints(pts)
+    rows_aff = msm_mod.rows_from_affine(P.x, P.y)
+    rows_proj = msm_mod.rows_from_points(P)
+    src = np.full((pad, cols), n, np.int32)  # sentinel everywhere
+    flat = rng.permutation(n)
+    # scatter the n real points into random (p, col) slots
+    slots = rng.choice(pad * cols, size=n, replace=False)
+    for i, s in enumerate(slots):
+        src[s // cols, s % cols] = flat[i]
+    src = jnp.asarray(src)
+    for rows in (rows_aff, rows_proj):
+        ox, oy, oz = pk.bucket_accum(
+            jnp.take(rows, src.reshape(-1), axis=0).T.reshape(rows.shape[1], pad, cols)
+        )
+        got = cv.PointVec(ox, oy, oz)
+        # reference: per-column host sums via the int oracle
+        import halo_accumulation_tpu.fields as F
+
+        want_cols = [None] * cols
+        for i, s in enumerate(slots):
+            cidx = s % cols
+            want_cols[cidx] = F.p_add(want_cols[cidx], pts[flat[i]])
+        want = cv.from_affine_ints(want_cols)
+        assert bool(np.asarray(cached_jit(cv.peq)(got, want)).all())
