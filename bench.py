@@ -140,12 +140,14 @@ def time_best(fn, n=3):
     return best
 
 
-def crosscheck_rowperm_vs_staged(n: int = 2048) -> bool:
+def crosscheck_rowperm_vs_ladder(n: int = 1024) -> bool:
     """Device self-check: the row-permutation pipeline (default) must agree
-    with the measured staged pipeline - two genuinely different dispatch
+    with the exact windowed-ladder MSM - two genuinely different dispatch
     graphs (guards against the round-1 class of TPU fused-graph
     miscompiles; asserted non-vacuous by tests/test_msm.py's
-    test_crosscheck_paths_differ)."""
+    test_crosscheck_paths_differ).  The ladder replaced the staged pipeline
+    here in round 4: staged's cold compile alone blew a 240 s guard, and a
+    guard timeout wedges the remote compile service."""
     import jax.numpy as jnp
 
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
@@ -165,9 +167,9 @@ def crosscheck_rowperm_vs_staged(n: int = 2048) -> bool:
     r_rowperm, okv = msm_mod._rowperm_msm(
         pts, s, c, msm_mod.pinned_pads(n, c), msm_mod._beffs(c), rows=pp.gs_rows(n)
     )
-    r_staged = msm_mod._msm_measured(pts, s, c)
-    ok = bool(np.asarray(cached_jit(cv.peq)(r_rowperm, r_staged))) and bool(np.asarray(okv))
-    log(f"rowperm-vs-staged cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
+    r_ladder = msm_mod.msm_ladder(pts, s)
+    ok = bool(np.asarray(cached_jit(cv.peq)(r_rowperm, r_ladder))) and bool(np.asarray(okv))
+    log(f"rowperm-vs-ladder cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
     return ok
 
 
@@ -216,10 +218,11 @@ def bench_msm(pow2: int, reps: int, side: dict):
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
     pts_per_s = N / dt
-    # rough roofline context from the analytic cost model
-    digits = msm_mod._digits(scalars, c)
-    pads = msm_mod._measure_pads(digits, c)
-    thr = profiling.msm_throughput(N, c, max(pads), dt)
+    # rough roofline context from the analytic cost model (pinned per-window
+    # pads/bucket-spaces - the shapes the rowperm pipeline actually runs)
+    thr = profiling.msm_throughput_groups(
+        N, c, msm_mod.pinned_pads(N, c), msm_mod._beffs(c), dt
+    )
     side[f"msm_2^{pow2}_padds"] = thr["padds"]
     side[f"msm_2^{pow2}_u32_gops_per_s"] = thr["achieved_u32_gops_per_s"]
     side[f"msm_2^{pow2}_vpu_util_est"] = thr["vpu_util_est"]
@@ -506,7 +509,7 @@ def main():
 
     try:
         with guard("crosscheck", 240):
-            side["rowperm_vs_staged_ok"] = crosscheck_rowperm_vs_staged()
+            side["rowperm_vs_ladder_ok"] = crosscheck_rowperm_vs_ladder()
     except Exception as e:  # noqa: BLE001
         log(f"cross-check failed to run: {type(e).__name__}: {e}")
 

@@ -203,6 +203,30 @@ def decider(acc: Accumulator, pp: pp_mod.PublicParams):
     pcdl.check(acc.C_bar, acc.d, acc.z, acc.v, acc.pi, pp)
 
 
+def _stack_flags(oks):
+    import jax.numpy as jnp
+
+    return jnp.stack(oks)
+
+
+def decide_many(accs: list[Accumulator], pp: pp_mod.PublicParams):
+    """Run the decider for EVERY accumulator with ONE combined verdict
+    fetch: the per-accumulator deferred-MSM chains are enqueued
+    back-to-back (the device pipelines them) and the ~25 ms tunnel round
+    trip is paid once instead of k times.  Verdicts and rejection behavior
+    are identical to calling decider() per step (the semantics of the
+    reference's slow helper, benches/acc.rs:100-106); on a False verdict
+    the per-step decider re-verifies through the measured MSM path before
+    rejecting (ruling out a pinned-pad overflow, see pcdl.check)."""
+    if not accs:
+        return
+    oks = [pcdl.check_device(a.C_bar, a.d, a.z, a.v, a.pi, pp) for a in accs]
+    combined = np.asarray(cached_jit(_stack_flags, len(oks))(oks))
+    for i, ok in enumerate(combined):
+        if not ok:
+            decider(accs[i], pp)  # raises with the precise failure
+
+
 def verify_chain(
     D: int,
     qss: list[list[Instance]],

@@ -138,6 +138,7 @@ def verify_chain_fast(d: int, qss, accs, pp: pp_mod.PublicParams) -> None:
 
 
 def verify_chain_slow(accs, pp: pp_mod.PublicParams) -> None:
-    """Slow/naive path: a full decider per step (benches/acc.rs:100-106)."""
-    for a in accs:
-        acc_mod.decider(a, pp)
+    """Slow/naive path: a full decider per step (benches/acc.rs:100-106),
+    enqueued back-to-back with one combined verdict fetch (same work and
+    verdicts; the tunnel round trip is paid once, not k times)."""
+    acc_mod.decide_many(accs, pp)

@@ -666,6 +666,13 @@ def msm_classed(points: cv.PointVec, scalars, flags: list | None = None) -> cv.P
     valid."""
     m = points.x.shape[1]
     cls = _width_class(m)
+    if cls <= _CLASS_MIN:
+        # tiny widths: the exact windowed ladder beats the whole
+        # sort/gather/bucket machinery - one compiled kernel, no pads.
+        pt = msm_ladder(points, scalars)
+        if flags is not None:
+            flags.append(jnp.asarray(True))
+        return pt
     c = 5
     points, scalars = _pad_points(points, scalars, cls)
     pads = pinned_pads(cls, c)
@@ -806,6 +813,20 @@ def _pad_points(points: cv.PointVec, scalars, m: int):
 
 # ---------------------------------------------------------------------------
 # Reference-grade slow paths (independent checks) and batched row MSMs.
+
+
+def msm_ladder(points: cv.PointVec, scalars) -> cv.PointVec:
+    """Exact 4-bit windowed-ladder MSM (msm_rows at batch 1), width padded
+    to the {128, 256} class: the right tool for tiny widths, where the
+    bucket machinery's 51-window sort/gather costs far more than it saves.
+    Always exact (no pinned pads).  This is the prover's per-round L/R MSM
+    at small degrees (pcdl.open_) and the dryrun/test hot path."""
+    N = points.x.shape[1]
+    cls = 128 if N <= 128 else 256 if N <= 256 else _width_class(N)
+    points, scalars = _pad_points(points, scalars, cls)
+    P1 = cv.PointVec(*(a[:, None, :] for a in points))
+    R = cached_jit(msm_rows, "r1", cls)(P1, scalars[:, None, :])
+    return cv.PointVec(R.x[:, 0], R.y[:, 0], R.z[:, 0])
 
 
 def msm_naive(points: cv.PointVec, scalars) -> cv.PointVec:

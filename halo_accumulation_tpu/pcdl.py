@@ -296,6 +296,7 @@ def open_(
 
     Ls, Rs = [], []
     flags: list | None = None if _safe else []
+    small = n <= 256  # the exact ladder MSM beats bucket machinery here
     pads5 = msm_mod.pinned_pads(max(n // 2, 1), 5)
     pre = cached_jit(_open_round_pre, n)
     fold = cached_jit(_open_round_fold, n)
@@ -303,7 +304,10 @@ def open_(
     while m >= 1:
         mm = jnp.int32(m)
         Lscal, Rscal, gR, dot_l, dot_r = pre(gs, cs, zs, mm)
-        if _safe:
+        if small:
+            Lp = msm_mod.msm_ladder(gs, Lscal)
+            Rp = msm_mod.msm_ladder(gR, Rscal)
+        elif _safe:
             Lp = msm_mod.msm(gs, Lscal, c=5)
             Rp = msm_mod.msm(gR, Rscal, c=5)
         else:

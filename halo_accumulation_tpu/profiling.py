@@ -46,6 +46,37 @@ def msm_cost(N: int, c: int, pad: int, chunks: int = 1) -> dict:
     }
 
 
+def msm_cost_groups(N: int, c: int, pads: list, beffs: list) -> dict:
+    """Complete-add counts for the row-permutation pipeline with its real
+    per-window (pad, beff) structure (ops/msm.pinned_pads/_beffs): bucket
+    reduction beff*(pad-1) per window + 2*lg(beff)*beff suffix-doubling
+    weighting + the global Horner combine."""
+    padds = 0
+    for pad, beff in zip(pads, beffs):
+        padds += beff * max(0, pad - 1)
+        lgB = max(0, beff.bit_length() - 1)
+        padds += 2 * lgB * beff
+    W = len(pads)
+    padds += W  # horner adds
+    fmuls = padds * FMUL_PER_PADD + 255 * FMUL_PER_PDBL
+    return {
+        "padds": int(padds),
+        "fmuls": int(fmuls),
+        "u32_gops": round(fmuls * U32_OPS_PER_FMUL / 1e9, 1),
+    }
+
+
+def msm_throughput_groups(N: int, c: int, pads: list, beffs: list, seconds: float) -> dict:
+    cost = msm_cost_groups(N, c, pads, beffs)
+    gops = cost["u32_gops"] / seconds
+    return {
+        **cost,
+        "points_per_s": round(N / seconds, 1),
+        "achieved_u32_gops_per_s": round(gops, 1),
+        "vpu_util_est": round(gops * 1e9 / V5E_VPU_OPS_PER_S, 3),
+    }
+
+
 def msm_throughput(N: int, c: int, pad: int, seconds: float, chunks: int = 1) -> dict:
     cost = msm_cost(N, c, pad, chunks)
     gops = cost["u32_gops"] / seconds

@@ -91,3 +91,20 @@ def test_api_smoke(rng, pp):
     a = api.accumulate(rng, d, [q], pp)
     api.verify(d, [q], a, pp)
     api.decide(a, pp)
+
+
+def test_decide_many_rejects_tampering(rng, pp):
+    """The batched slow path (one combined verdict fetch) must reject
+    exactly like per-step decider() calls."""
+    d, qss, accs = chain.build_chain(rng, 16, 2, pp)
+    chain.verify_chain_slow(accs, pp)  # accepts the honest chain
+    bad = acc_mod.Accumulator(
+        C_bar=accs[0].C_bar,
+        d=accs[0].d,
+        z=accs[0].z,
+        v=(accs[0].v + 1) % F.R,
+        pi=accs[0].pi,
+        pi_V=accs[0].pi_V,
+    )
+    with pytest.raises(ValueError):
+        chain.verify_chain_slow([bad, accs[1]], pp)

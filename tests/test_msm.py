@@ -125,30 +125,30 @@ def test_msm_affine_rows(rng, monkeypatch):
 
 
 def test_crosscheck_paths_differ(rng, monkeypatch):
-    """bench.py's rowperm-vs-staged cross-check must dispatch two GENUINELY
-    different pipelines (round-2 VERDICT: the old check compared the staged
-    path against itself)."""
+    """bench.py's rowperm-vs-ladder cross-check must dispatch two GENUINELY
+    different pipelines (round-2 VERDICT: the old check compared one
+    pipeline against itself)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
 
-    calls = {"rowperm": 0, "staged": 0}
-    orig_rp, orig_ms = msm._rowperm_msm, msm._msm_measured
+    calls = {"rowperm": 0, "ladder": 0}
+    orig_rp, orig_ld = msm._rowperm_msm, msm.msm_ladder
 
     def rp(*a, **k):
         calls["rowperm"] += 1
         return orig_rp(*a, **k)
 
-    def ms(*a, **k):
-        calls["staged"] += 1
-        return orig_ms(*a, **k)
+    def ld(*a, **k):
+        calls["ladder"] += 1
+        return orig_ld(*a, **k)
 
     monkeypatch.setattr(msm, "_rowperm_msm", rp)
-    monkeypatch.setattr(msm, "_msm_measured", ms)
-    assert bench.crosscheck_rowperm_vs_staged(n=64)
-    assert calls["rowperm"] == 1 and calls["staged"] == 1
+    monkeypatch.setattr(msm, "msm_ladder", ld)
+    assert bench.crosscheck_rowperm_vs_ladder(n=64)
+    assert calls["rowperm"] == 1 and calls["ladder"] == 1
 
 
 def test_msm_classed(rng):
