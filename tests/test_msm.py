@@ -78,15 +78,16 @@ def test_msm_rowperm_matches(rng, monkeypatch):
     ss = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)]
     assert run_msm(pts, ss, c=4) == F.p_msm(ss, pts)
     # flagged variant: pinned pads, device ok flag must be True for
-    # uniform scalars, and the point must match
+    # uniform scalars, and the point must match (pads passed explicitly:
+    # tiny widths without pads take the exact-ladder shortcut instead)
     P = cv.from_affine_ints(pts)
     s = FR.from_ints(ss)
-    R, ok = msm.msm_flagged(P, s, c=4)
+    R, ok = msm.msm_flagged(P, s, c=4, pads=msm.pinned_pads(n, 4))
     assert bool(np.asarray(ok))
     assert run_point(R) == F.p_msm(ss, pts)
     # sub-chunked groups (wc=1) under a tiny budget
     monkeypatch.setattr(msm, "_SCATTER_BUDGET_COLS", 1024)
-    R2, ok2 = msm.msm_flagged(P, s, c=4)
+    R2, ok2 = msm.msm_flagged(P, s, c=4, pads=msm.pinned_pads(n, 4))
     assert bool(np.asarray(ok2))
     assert run_point(R2) == F.p_msm(ss, pts)
 

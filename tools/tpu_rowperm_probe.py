@@ -45,9 +45,10 @@ def variants(k=3):
 
 def _force(r):
     """block_until_ready is a no-op on the axon remote backend: force
-    completion by FETCHING a small slice of every output leaf."""
-    for leaf in jax.tree_util.tree_leaves(r):
-        np.asarray(jax.device_get(jnp.ravel(leaf)[:2]))
+    completion by FETCHING a small slice of every output leaf, batched
+    into ONE device_get (each separate fetch costs a ~25 ms round trip)."""
+    leaves = jax.tree_util.tree_leaves(r)
+    np.asarray(jax.device_get(jnp.concatenate([jnp.ravel(l)[:2].astype(jnp.uint32) for l in leaves])))
     return r
 
 
@@ -86,16 +87,16 @@ for w0, w1, beff, pad in groups:
         dvars,
     )
     bg_fn = cached_jit(
-        msm_mod._bucket_group_rows, "bg", c, pad, Wg, beff, static_argnums=(2, 3, 4, 5)
+        msm_mod._bucket_group_rows, "bg", pad, Wg, beff, static_argnums=(2, 3, 4)
     )
     srcs = [ps_fn(d[w0:w1], pad, beff)[0] for d in dvars]
     for s2 in srcs:
         _force(s2)  # don't bill src construction to the bucket stage
-    _force(bg_fn(rows, srcs[0], c, pad, Wg, beff))
+    _force(bg_fn(rows, srcs[0], pad, Wg, beff))
     dts = []
     for s2 in srcs[1:] + [srcs[0]]:
         t0 = time.perf_counter()
-        _force(bg_fn(rows, s2, c, pad, Wg, beff))
+        _force(bg_fn(rows, s2, pad, Wg, beff))
         dts.append(time.perf_counter() - t0)
     print(f"bucket_group w[{w0}:{w1}]: {min(dts)*1e3:8.2f} ms", flush=True)
 
