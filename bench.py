@@ -20,8 +20,9 @@ Fallbacks: if a chain bench cannot run, the headline falls back to the MSM
 metric so the driver always gets a parsable line.
 
 Env knobs: HALO_BENCH_MSM_POW (default 20, 0 disables), HALO_BENCH_SMALL=0
-disables the small grid rows, HALO_BENCH_GRID=1 runs the full K=10 row set
-n in {512..8192} (plus the 16384 headline), HALO_BENCH_N / HALO_BENCH_K
+disables the small grid rows, HALO_BENCH_GRID=0 limits the K=10 grid to
+n=512 (default runs the full reference row set 512..8192 from committed
+chain caches, plus the 16384 headline), HALO_BENCH_N / HALO_BENCH_K
 override the headline chain, HALO_BENCH_REPS timing repetitions (default 3),
 HALO_BENCH_DEADLINE seconds (default 1500 - the driver SIGTERMs ~1800 s in).
 
@@ -490,9 +491,9 @@ def main():
         log(f"h bench failed: {type(e).__name__}: {e}")
 
     # 6. Small-n grid rows.
-    small_ns = [512]
-    if os.environ.get("HALO_BENCH_GRID", "0") == "1":
-        small_ns = [512, 1024, 2048, 4096, 8192]
+    small_ns = [512, 1024, 2048, 4096, 8192]
+    if os.environ.get("HALO_BENCH_GRID", "1") == "0":
+        small_ns = [512]
     if os.environ.get("HALO_BENCH_SMALL", "1") != "0":
         for sn in small_ns:
             if remaining() <= 240:
