@@ -242,8 +242,14 @@ def _perm_slots(digits_g, pad: int, beff: int):
         skey = jnp.sort(key, axis=1)
         bvals = (jnp.arange(beff, dtype=jnp.uint32) << np.uint32(ibits))
         first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(skey)
+        # End-of-bucket boundary via side="right" on (b << ibits) | max_index:
+        # overflow-free even at beff << ibits == 2^32, where the former
+        # bvals + (1 << ibits) wrapped to 0 for the top bucket and silently
+        # dropped its points (ADVICE r4 high: the c=12 N=2^20 design point).
         nxt = jax.vmap(
-            lambda row: jnp.searchsorted(row, bvals + (1 << ibits), side="left")
+            lambda row: jnp.searchsorted(
+                row, bvals | jnp.uint32((1 << ibits) - 1), side="right"
+            )
         )(skey)
         order = (skey & jnp.uint32((1 << ibits) - 1)).astype(jnp.int32)
     else:

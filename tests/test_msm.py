@@ -181,6 +181,25 @@ def run_point(R):
     return (int(FQ.to_ints(x)[0]), int(FQ.to_ints(y)[0]))
 
 
+def test_perm_slots_packed_boundary():
+    """Pin _perm_slots at the packed-sort uint32 boundary
+    beff << ibits == 2^32 (c=12 at N=2^20 - ADVICE r4 high): points in the
+    TOP bucket must not be silently dropped to the identity sentinel."""
+    import jax.numpy as jnp
+
+    N = 1 << 20
+    beff = 4096  # ibits = 20 -> beff << ibits == 2^32 exactly
+    d = np.zeros((1, N), np.uint32)
+    d[0, 5] = beff - 1  # one point in the top bucket
+    d[0, 7] = 1  # one point in the bottom nonzero bucket
+    src, ok = msm._perm_slots(jnp.asarray(d), 4, beff)
+    src = np.asarray(src)
+    assert bool(np.asarray(ok))
+    assert src[0, beff - 1] == 5  # previously: sentinel (dropped), ok=True
+    assert src[1, beff - 1] == N
+    assert src[0, 1] == 7
+
+
 def test_msm_naive_matches(rng):
     n = 16
     pts = rand_points(rng, n)

@@ -26,7 +26,7 @@ def _random_problem(rng, N):
     return pts, ss
 
 
-@pytest.mark.parametrize("n_dev,N", [(8, 64), (3, 96), (8, 256)])
+@pytest.mark.parametrize("n_dev,N", [(8, 64), (3, 96), (8, 256), (8, 1024)])
 def test_msm_sharded_matches(rng, n_dev, N):
     assert len(jax.devices()) == 8, f"expected 8 virtual devices, got {len(jax.devices())}"
     mesh = pms.make_mesh(n_dev)
