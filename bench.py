@@ -110,21 +110,19 @@ class phase_guard:
         log(f"phase {self.name}: {time.time()-self._t0:.1f}s")
         return False
 
-REF_MS = {  # BASELINE.md (report.md:2129-2164), K=10 rows + derived anchors
-    ("f", 512, 10): 67.098,
-    ("f", 1024, 10): 77.597,
-    ("f", 2048, 10): 99.973,
-    ("f", 4096, 10): 139.35,
-    ("f", 8192, 10): 186.34,
-    ("f", 16384, 10): 299.49,
-    ("s", 512, 10): 94.834,
-    ("s", 1024, 10): 151.25,
-    ("s", 2048, 10): 258.92,
-    ("s", 4096, 10): 453.55,
-    ("s", 8192, 10): 838.05,
-    ("s", 16384, 10): 1522.7,
-    ("f", 16384, 100): 1648.4,
-    ("s", 16384, 100): 15253.0,
+REF_MS = {  # BASELINE.md: the full 36-cell grid (report.md:2129-2164)
+    ("s", 512, 10): 94.834, ("s", 512, 100): 940.91, ("s", 512, 1000): 9438.1,
+    ("s", 1024, 10): 151.25, ("s", 1024, 100): 1504.2, ("s", 1024, 1000): 15087.0,
+    ("s", 2048, 10): 258.92, ("s", 2048, 100): 2557.9, ("s", 2048, 1000): 25621.0,
+    ("s", 4096, 10): 453.55, ("s", 4096, 100): 4494.5, ("s", 4096, 1000): 44970.0,
+    ("s", 8192, 10): 838.05, ("s", 8192, 100): 8372.3, ("s", 8192, 1000): 82643.0,
+    ("s", 16384, 10): 1522.7, ("s", 16384, 100): 15253.0, ("s", 16384, 1000): 152630.0,
+    ("f", 512, 10): 67.098, ("f", 512, 100): 607.28, ("f", 512, 1000): 6018.3,
+    ("f", 1024, 10): 77.597, ("f", 1024, 100): 662.03, ("f", 1024, 1000): 6511.4,
+    ("f", 2048, 10): 99.973, ("f", 2048, 100): 798.48, ("f", 2048, 1000): 7775.2,
+    ("f", 4096, 10): 139.35, ("f", 4096, 100): 1014.2, ("f", 4096, 1000): 9785.1,
+    ("f", 8192, 10): 186.34, ("f", 8192, 100): 1161.1, ("f", 8192, 1000): 10899.0,
+    ("f", 16384, 10): 299.49, ("f", 16384, 100): 1648.4, ("f", 16384, 1000): 15176.0,
 }
 
 
@@ -172,6 +170,128 @@ def crosscheck_rowperm_vs_ladder(n: int = 1024) -> bool:
     ok = bool(np.asarray(cached_jit(cv.peq)(r_rowperm, r_ladder))) and bool(np.asarray(okv))
     log(f"rowperm-vs-ladder cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
     return ok
+
+
+def crosscheck_sortrows_vs_ladder(n: int = (1 << 19) + 8) -> bool:
+    """Device self-check of the DEFAULT sort-payload pipeline against the
+    exact windowed ladder at an N in the c=12 large-bucket regime (ADVICE
+    r4: the old n=1024 check could never exercise the large-N window
+    configuration where the round-4 boundary bug lived)."""
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu import pp as pp_mod
+    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
+    from halo_accumulation_tpu.runtime import cached_jit
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 1 << 15, size=(18, n), dtype=np.int64).astype(np.uint32)
+    arr[17] = 0
+    s = jnp.asarray(arr)
+    pp = pp_mod.get_pp(1 << 20)
+    pts = pp.gs_points(n)
+    c = msm_mod.window_size(n)
+    outs, okv = msm_mod._sortrows_msm(
+        pp.gs_planes(n), s, c, msm_mod.pinned_pads(n, c), msm_mod._beffs(c)
+    )
+    r_ladder = msm_mod.msm_ladder(pts, s)
+    ok = bool(np.asarray(cached_jit(cv.peq)(outs[0], r_ladder))) and bool(np.asarray(okv))
+    log(f"sortrows-vs-ladder cross-check at N={n}: {'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
+def crosscheck_msm_native(pow2: int, side: dict):
+    """Full-size independent check of the flagship MSM: the native C++
+    Pippenger (halo_native.cpp, single-core host) computes the same 2^pow2
+    MSM and must agree (VERDICT r4 weak #5: the 2^20 number had never been
+    checked against an independent implementation)."""
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu import hostops as H, pp as pp_mod
+    from halo_accumulation_tpu.ops import msm as msm_mod
+    from halo_accumulation_tpu.pcdl import point_to_host
+
+    N = 1 << pow2
+    pp = pp_mod.get_pp(N)
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 1 << 15, size=(18, N), dtype=np.int64).astype(np.uint32)
+    arr[17] = 0
+    scalars = jnp.asarray(arr)
+    got = point_to_host(msm_mod.msm(pp.gs_points(N), scalars, planes=pp.gs_planes(N)))
+    t0 = time.time()
+    ss = [int(x) for x in (arr.astype(object) * (1 << (15 * np.arange(18, dtype=object)))[:, None]).sum(axis=0)]
+    pts = pp.gs_host(N)
+    log(f"native crosscheck 2^{pow2}: host conversion {time.time()-t0:.1f}s")
+    t0 = time.time()
+    want = H.p_msm(ss, pts)
+    log(f"native crosscheck 2^{pow2}: native MSM {time.time()-t0:.1f}s")
+    ok = got == want
+    side[f"msm_2^{pow2}_native_crosscheck_ok"] = bool(ok)
+    log(f"native MSM cross-check 2^{pow2}: {'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
+def bench_beyond(side: dict):
+    """Run the protocol PAST the reference's compile-time URS ceiling
+    (consts.rs caps d+1 at 2^14; report.md:2081-2086): a short accumulation
+    chain at d+1 = 2^16 and a commit/open/decide at 2^20."""
+    import jax  # noqa: F401
+
+    from halo_accumulation_tpu import acc as acc_mod, chain, fields as Fm, pcdl, pp as pp_mod
+    from halo_accumulation_tpu.ops.field import FR
+
+    # accumulate + verify chain at 2^16
+    n = 1 << 16
+    pp = pp_mod.get_pp(n)
+    rng = np.random.default_rng(21)
+    cache = os.path.join(
+        os.environ.get("HALO_BENCH_CHAIN_CACHE", ".chain_cache"), f"chain_{n}_4.bin"
+    )
+    t0 = time.time()
+    if os.path.exists(cache):
+        d, qss, accs = chain.load_chain(cache)
+    else:
+        d, qss, accs = chain.build_chain(rng, n, 4, pp)
+        chain.save_chain(cache, d, qss, accs)
+    log(f"2^16 chain ready in {time.time()-t0:.1f}s")
+    chain.verify_chain_fast(d, qss, accs, pp)
+    dt = time_best(lambda: chain.verify_chain_fast(d, qss, accs, pp), 2)
+    side["acc_cmp_f_65536_4_ms"] = round(dt * 1e3, 2)
+    log(f"acc_cmp_f_65536_4: {dt*1e3:.1f} ms (beyond the reference's max degree)")
+
+    # commit/open/decide at 2^20
+    n2 = 1 << 20
+    pp2 = pp_mod.get_pp(n2)
+    d2 = n2 - 1
+    coeffs = FR.from_ints([chain.rand_scalar(rng) for _ in range(256)])
+    # degree ~2^20 polynomial: random low words + the top coefficient set
+    import jax.numpy as jnp
+
+    top = FR.from_ints([1])
+    cd = jnp.concatenate([coeffs, FR.zeros((n2 - 257,)), top], axis=1)
+    z = chain.rand_scalar(rng)
+    t0 = time.time()
+    C = pcdl.commit(cd, d2, None, pp2)
+    side["commit_1048576_ms"] = round((time.time() - t0) * 1e3, 1)
+    t0 = time.time()
+    pi = pcdl.open_(rng, cd, C, d2, z, None, pp2)
+    side["open_1048576_ms"] = round((time.time() - t0) * 1e3, 1)
+    import jax.numpy as _jnp  # noqa: F401
+
+    zl = FR.from_ints([z])[:, 0]
+    from halo_accumulation_tpu.ops import poly as poly_mod
+    from halo_accumulation_tpu.runtime import cached_jit
+
+    v = int(FR.to_ints(cached_jit(poly_mod.eval_poly, n2)(cd, zl)))
+    t0 = time.time()
+    pcdl.check(C, d2, z, v, pi, pp2)
+    side["decider_1048576_ms"] = round((time.time() - t0) * 1e3, 1)
+    t0 = time.time()
+    pcdl.check(C, d2, z, v, pi, pp2)
+    side["decider_1048576_warm_ms"] = round((time.time() - t0) * 1e3, 1)
+    log(
+        f"2^20: commit {side['commit_1048576_ms']} ms, open {side['open_1048576_ms']} ms, "
+        f"decide {side['decider_1048576_warm_ms']} ms"
+    )
 
 
 def bench_msm(pow2: int, reps: int, side: dict):
@@ -283,9 +403,83 @@ def bench_h(side: dict, n: int = 256, k: int = 16):
         np.asarray(ev(coeffs, zl))
         dts.append(time.perf_counter() - t0)
     side["h_eval_naive_ms"] = round(min(dts) * 1e3, 3)
+
+    # h_eval_multiple: sum of K log-time evals (h.rs:70-96); the naive
+    # twin combines K dense expansions then evaluates (h.rs:99-123)
+    hs_xis = [
+        [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(lg_n + 1)]
+        for _ in range(k)
+    ]
+    zm = zs[0]
+    t0 = time.perf_counter()
+    _ = sum(poly_mod.h_eval_host(x, zm, F.R) for x in hs_xis) % F.R
+    side["h_eval_multiple_us"] = round((time.perf_counter() - t0) * 1e6, 2)
+
+    av = FR.from_ints([zs[1]])[:, 0]
+
+    def multi_naive(xv_list, al):
+        acc = None
+        cur = FR.from_ints([1])[:, 0]
+        for xv in xv_list:
+            hc = poly_mod.tensor_h_coeffs(xv)
+            term = poly_mod.scale(hc, cur)
+            acc = term if acc is None else poly_mod.add(acc, term)
+            cur = FR.mul(cur, al)
+        return poly_mod.eval_poly(acc, FR.from_ints([zm])[:, 0])
+
+    xv_list = [FR.from_ints(x) for x in hs_xis]
+    fnm = cached_jit(multi_naive, k, lg_n)
+    np.asarray(fnm(xv_list, av))
+    dts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fnm(xv_list, FR.from_ints([zs[1] + i])[:, 0]))
+        dts.append(time.perf_counter() - t0)
+    side["h_eval_multiple_naive_ms"] = round(min(dts) * 1e3, 3)
+
+    # random_poly_eval_naive: dense degree-(n-1) Horner (h.rs:60-68)
+    rc = FR.from_ints([int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(n)])
+    np.asarray(ev(rc, zvars[0]))
+    dts = []
+    for zl in zvars:
+        t0 = time.perf_counter()
+        np.asarray(ev(rc, zl))
+        dts.append(time.perf_counter() - t0)
+    side["random_poly_eval_naive_ms"] = round(min(dts) * 1e3, 3)
     log(
         f"h benches (n={n}, k={k}): eval {side['h_eval_us']} us, "
-        f"get_poly {side['h_get_poly_ms']} ms, naive eval {side['h_eval_naive_ms']} ms"
+        f"get_poly {side['h_get_poly_ms']} ms, naive eval {side['h_eval_naive_ms']} ms, "
+        f"multiple {side['h_eval_multiple_us']} us / naive "
+        f"{side['h_eval_multiple_naive_ms']} ms, rand-naive "
+        f"{side['random_poly_eval_naive_ms']} ms"
+    )
+
+
+def bench_acc_units(side: dict, n: int = 1024, reps: int = 3):
+    """acc_prover / acc_verifier / acc_decider unit benches, mirroring
+    /root/reference/code/benches/acc.rs:31-60 (one fresh instance, N=1024).
+    The reference publishes no numbers for these (BASELINE.md), but the
+    prover number is the gate on chain-building cost - a regression here
+    stayed invisible for four rounds (VERDICT r4)."""
+    from halo_accumulation_tpu import acc as acc_mod, chain, pp as pp_mod
+
+    pp = pp_mod.get_pp(max(n, 256))
+    rng = np.random.default_rng(13)
+    d = n - 1
+    t0 = time.time()
+    qs = [chain.random_instance(rng, d, pp)]
+    a = acc_mod.prover(rng, d, qs, pp)
+    log(f"acc units n={n}: instance+prover warmup {time.time()-t0:.1f}s")
+    dt = time_best(lambda: acc_mod.prover(rng, d, qs, pp), reps)
+    side[f"acc_prover_{n}_ms"] = round(dt * 1e3, 2)
+    dt_v = time_best(lambda: acc_mod.verifier(d, qs, a, pp), reps)
+    side[f"acc_verifier_{n}_ms"] = round(dt_v * 1e3, 2)
+    dt_d = time_best(lambda: acc_mod.decider(a, pp), reps)
+    side[f"acc_decider_{n}_ms"] = round(dt_d * 1e3, 2)
+    log(
+        f"acc units n={n}: prover {side[f'acc_prover_{n}_ms']} ms, "
+        f"verifier {side[f'acc_verifier_{n}_ms']} ms, "
+        f"decider {side[f'acc_decider_{n}_ms']} ms"
     )
 
 
@@ -473,6 +667,26 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
 
+    # 3a. independent native (C++ Pippenger) cross-check of the flagship MSM
+    if os.environ.get("HALO_BENCH_NATIVE_XCHK", "1") != "0":
+        try:
+            with guard("native_crosscheck", 300):
+                crosscheck_msm_native(16, side)
+                if remaining() > 900:
+                    crosscheck_msm_native(20, side)
+        except Exception as e:  # noqa: BLE001
+            log(f"native cross-check failed: {type(e).__name__}: {e}")
+
+    # 3b. Prover/verifier/decider unit benches (benches/acc.rs:31-60) at
+    # the reference's N=1024 plus the headline degree.
+    if os.environ.get("HALO_BENCH_UNITS", "1") != "0":
+        for un in (1024, 16384):
+            try:
+                with guard(f"acc_units_{un}", 240):
+                    bench_acc_units(side, n=un, reps=max(1, reps - 1))
+            except Exception as e:  # noqa: BLE001
+                log(f"acc units n={un} failed: {type(e).__name__}: {e}")
+
     # 4. K=100 amortization cells (where batching should shine vs Rust).
     if os.environ.get("HALO_BENCH_K100", "1") != "0":
         try:
@@ -508,9 +722,44 @@ def main():
                 traceback.print_exc(file=sys.stderr)
                 log(f"chain n={sn} bench failed: {type(e).__name__}: {e}")
 
+    # 7. K=100 / K=1000 amortization cells from committed chain caches
+    # (chain construction is setup, exactly as criterion treats it;
+    # building K=1000 chains in-bench would blow the budget - see
+    # tools/build_chain_cache.py).  Only cells with a cache present run.
+    if os.environ.get("HALO_BENCH_GRID_BIG", "1") != "0":
+        cells = [(sn, 100) for sn in (512, 1024, 2048, 4096, 8192)]
+        cells += [(sn, 1000) for sn in (512, 1024, 16384)]
+        for sn, sk in cells:
+            cache = os.path.join(
+                os.environ.get("HALO_BENCH_CHAIN_CACHE", ".chain_cache"),
+                f"chain_{sn}_{sk}.bin",
+            )
+            if not os.path.exists(cache):
+                log(f"grid cell {sn}/{sk}: no cache, skipping")
+                continue
+            if remaining() <= 180:
+                log(f"grid cell {sn}/{sk}: out of budget")
+                break
+            try:
+                with guard(f"chain_{sn}_{sk}", 300):
+                    bench_chain(sn, sk, 1, side)
+            except Exception as e:  # noqa: BLE001
+                log(f"grid cell {sn}/{sk} failed: {type(e).__name__}: {e}")
+
+    # 8. Past the reference's ceiling: accumulate at d+1 = 2^16 and a
+    # decider at 2^20 (the capability the runtime URS exists for;
+    # report.md:2081-2086 calls the compile-time 2^14 cap THE limitation).
+    if os.environ.get("HALO_BENCH_BEYOND", "1") != "0" and remaining() > 240:
+        try:
+            with guard("beyond_2^14", min(420, remaining() - 60)):
+                bench_beyond(side)
+        except Exception as e:  # noqa: BLE001
+            log(f"beyond-2^14 bench failed: {type(e).__name__}: {e}")
+
     try:
         with guard("crosscheck", 240):
             side["rowperm_vs_ladder_ok"] = crosscheck_rowperm_vs_ladder()
+            side["sortrows_vs_ladder_ok"] = crosscheck_sortrows_vs_ladder()
     except Exception as e:  # noqa: BLE001
         log(f"cross-check failed to run: {type(e).__name__}: {e}")
 

@@ -209,22 +209,107 @@ def _stack_flags(oks):
     return jnp.stack(oks)
 
 
+def _verify_chain_fused(
+    Ps, ss, Pu, su, Pd, sd, xis1, Uv, planes, n: int, c: int, pads: tuple, beffs: tuple
+):
+    """The entire fast-path verdict in ONE traced graph: batched succinct
+    rows, batched U_0 rows, and the final decider (row check + deferred
+    n-MSM + U equality).  Returns a (Bs + B + 1,) bool vector laid out
+    [succinct rows | U_0 rows | decider]."""
+    import jax.numpy as jnp
+
+    ok_succ = pcdl._rows_and_isinf(Ps, ss)
+    ok_u0 = pcdl._rows_and_isinf(Pu, su)
+    ok_dec = _deciders_fused(Pd, sd, xis1, Uv, planes, n, c, pads, beffs)  # (1,)
+    return jnp.concatenate([ok_succ, ok_u0, ok_dec])
+
+
+def _deciders_fused(Pd, sd, xis_stack, Uv, planes, n: int, c: int, pads: tuple, beffs: tuple):
+    """K full PCDL checks (pcdl.rs:323-342) in ONE traced graph: batched
+    succinct row-MSM + K deferred n-MSMs through msm_many_flagged + batched
+    U equality.  Returns (K,) bool."""
+    import jax
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
+    from halo_accumulation_tpu.ops import poly as poly_mod
+    from halo_accumulation_tpu.ops.field import FQ
+
+    ok_rows = pcdl._rows_and_isinf(Pd, sd)  # (K,)
+    hcs = jax.vmap(poly_mod.tensor_h_coeffs)(xis_stack)  # (K, L, n)
+    K = hcs.shape[0]
+    if n >= msm_mod._SORTROWS_MIN:
+        comm, flag = msm_mod.msm_many_flagged(planes, hcs, c, list(pads), list(beffs))
+    else:
+        # tiny degrees: the batched exact ladder (no pads, always valid)
+        Lc = hcs.shape[1]
+        pts = cv.PointVec(
+            jnp.broadcast_to(planes[:Lc][:, None], (Lc, K, n)),
+            jnp.broadcast_to(planes[Lc:][:, None], (Lc, K, n)),
+            FQ.from_int(1, (K, n)),
+        )
+        comm = msm_mod.msm_rows(pts, jnp.moveaxis(hcs, 0, 1))
+        flag = jnp.asarray(True)
+    ok_eq = cv.peq(comm, Uv)  # (K,)
+    return ok_rows & ok_eq & flag
+
+
 def decide_many(accs: list[Accumulator], pp: pp_mod.PublicParams):
-    """Run the decider for EVERY accumulator with ONE combined verdict
-    fetch: the per-accumulator deferred-MSM chains are enqueued
-    back-to-back (the device pipelines them) and the ~25 ms tunnel round
-    trip is paid once instead of k times.  Verdicts and rejection behavior
-    are identical to calling decider() per step (the semantics of the
-    reference's slow helper, benches/acc.rs:100-106); on a False verdict
-    the per-step decider re-verifies through the measured MSM path before
+    """Run the decider for EVERY accumulator as ONE fused device dispatch +
+    ONE verdict fetch (the reference's slow helper runs k sequential full
+    checks, benches/acc.rs:100-106).  Verdicts and rejection behavior are
+    identical to calling decider() per step; on a False verdict the
+    per-step decider re-verifies through the measured MSM path before
     rejecting (ruling out a pinned-pad overflow, see pcdl.check)."""
     if not accs:
         return
-    oks = [pcdl.check_device(a.C_bar, a.d, a.z, a.v, a.pi, pp) for a in accs]
-    combined = np.asarray(cached_jit(_stack_flags, len(oks))(oks))
+    from halo_accumulation_tpu.ops import msm as msm_mod
+
+    same_d = all(a.d == accs[0].d for a in accs)
+    if msm_mod._impl() != "sortrows" or not same_d:
+        oks = [pcdl.check_device(a.C_bar, a.d, a.z, a.v, a.pi, pp) for a in accs]
+        combined = np.asarray(cached_jit(_stack_flags, len(oks))(oks))
+    else:
+        combined = np.asarray(_decide_many_device(accs, pp))
     for i, ok in enumerate(combined):
         if not ok:
             decider(accs[i], pp)  # raises with the precise failure
+
+
+def _decide_many_device(accs: list[Accumulator], pp: pp_mod.PublicParams):
+    """Host transcript replays + one fused device call; returns (K,) bool
+    device array.  Chunks the batch to bound the traced graph size."""
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
+    from halo_accumulation_tpu.ops.field import L as _L
+
+    n = accs[0].d + 1
+    c = msm_mod.window_size(n)
+    pads = tuple(msm_mod.pinned_pads(n, c))
+    beffs = tuple(msm_mod._beffs(c))
+    planes = pp.gs_planes(n)
+    out = []
+    CH = 16  # graphs carry K copies of the MSM trace; bound compile size
+    for lo in range(0, len(accs), CH):
+        part = accs[lo : lo + CH]
+        parts = [
+            pcdl.succinct_check_parts(a.C_bar, a.d, a.z, a.v, a.pi, pp) for a in part
+        ]
+        K = len(part)
+        M = max(len(p[1]) for p in parts)
+        pts_rows = [p[1] + [None] * (M - len(p[1])) for p in parts]
+        scs_rows = [p[2] + [0] * (M - len(p[2])) for p in parts]
+        P = cv.from_affine_ints([q for row in pts_rows for q in row])
+        P = cv.PointVec(*(a.reshape(_L, K, M) for a in P))
+        s = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, K, M)
+        xis_stack = jnp.stack([FR.from_ints(p[0].xis) for p in parts])
+        Uv = cv.from_affine_ints([a.pi.U for a in part])
+        okv = cached_jit(
+            _deciders_fused, "df", n, c, K, M, static_argnums=(5, 6, 7, 8)
+        )(P, s, xis_stack, Uv, planes, n, c, pads, beffs)
+        out.append(okv)
+    return cached_jit(lambda xs: jnp.concatenate(xs), "dmc", len(out))(out)
 
 
 def verify_chain(
@@ -261,17 +346,22 @@ def verify_chain(
 
     # ---- 1. enqueue ALL device work first (no fetch: one tunnel round
     # trip costs ~30 ms, so every verdict is combined into a single sync at
-    # the end while the host does the transcript bookkeeping in parallel) --
+    # the end while the host does the transcript bookkeeping in parallel).
+    # Without a mesh the whole verdict - every step's succinct checks, the
+    # U_0 commitments, the final decider's row check, deferred n-MSM and U
+    # equality - runs as ONE fused jit dispatch (_verify_chain_fused):
+    # round-4 profiling showed the ~85 ms small-degree floor was dispatch
+    # count, not math. ---------------------------------------------------
+    from halo_accumulation_tpu.ops import msm as msm_mod
+
+    last = accs[-1]
     flat = []
     step_slices = []
     for qs in qss:
         step_slices.append((len(flat), len(flat) + len(qs)))
         flat.extend((q.C, q.d, q.z, q.v, q.pi) for q in qs)
-    parts, ok_succ = pcdl.succinct_check_batch_device(flat, pp, mesh=mesh, axis=axis)
+    fused = mesh is None and msm_mod._impl() == "sortrows"
 
-    # batched U_0 = commit(h_0) checks (one msm_rows dispatch); with a mesh
-    # the batch axis is padded to a device multiple with all-identity rows
-    # (trivially true) and sharded.
     g0, g1 = pp.gs_host(2)
     B = len(accs)
     if mesh is not None:
@@ -284,24 +374,60 @@ def verify_chain(
     for _ in range(B - len(accs)):
         pts_rows.append([None, None, None])
         scs_rows.append([0, 0, 0])
-    P = cv.from_affine_ints([p for row in pts_rows for p in row])
-    P = cv.PointVec(*(a.reshape(_L, B, 3) for a in P))
-    s = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, B, 3)
-    if mesh is not None:
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec
+    Pu = cv.from_affine_ints([p for row in pts_rows for p in row])
+    Pu = cv.PointVec(*(a.reshape(_L, B, 3) for a in Pu))
+    su = FR.from_ints([x for row in scs_rows for x in row]).reshape(_L, B, 3)
 
-        sh = NamedSharding(mesh, PartitionSpec(None, axis, None))
-        P = cv.PointVec(*(jax.device_put(a, sh) for a in P))
-        s = jax.device_put(s, sh)
-    ok_u0 = cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(P, s)
+    if fused:
+        # batched succinct-check rows (host transcript replay only)
+        parts = [pcdl.succinct_check_parts(C, d, z, v, pi, pp) for (C, d, z, v, pi) in flat]
+        M = max(len(p[1]) for p in parts)
+        Bs = 1
+        while Bs < len(parts):
+            Bs *= 2
+        prow, srow = [], []
+        for _, pts, scs in parts:
+            prow.append(pts + [None] * (M - len(pts)))
+            srow.append(scs + [0] * (M - len(scs)))
+        for _ in range(Bs - len(parts)):
+            prow.append([None] * M)
+            srow.append([0] * M)
+        Ps = cv.from_affine_ints([p for row in prow for p in row])
+        Ps = cv.PointVec(*(a.reshape(_L, Bs, M) for a in Ps))
+        ss = FR.from_ints([x for row in srow for x in row]).reshape(_L, Bs, M)
+        # the final decider's host replay
+        dh, dpts, dscs = pcdl.succinct_check_parts(last.C_bar, last.d, last.z, last.v, last.pi, pp)
+        Md = len(dpts)
+        Pd = cv.from_affine_ints(dpts)
+        Pd = cv.PointVec(*(a.reshape(_L, 1, Md) for a in Pd))
+        sd = FR.from_ints(dscs).reshape(_L, 1, Md)
+        import jax.numpy as jnp
 
-    # the one final decider, verdict left on device (deferred n-MSM sharded
-    # over the mesh when given)
-    last = accs[-1]
-    ok_dec = pcdl.check_device(
-        last.C_bar, last.d, last.z, last.v, last.pi, pp, mesh=mesh, axis=axis
-    )
+        xis1 = jnp.stack([FR.from_ints(dh.xis)])
+        Uv = cv.from_affine_ints([last.pi.U])
+        n = last.d + 1
+        cw = msm_mod.window_size(n)
+        padsT = tuple(msm_mod.pinned_pads(n, cw))
+        beffsT = tuple(msm_mod._beffs(cw))
+        allok = cached_jit(
+            _verify_chain_fused, "vcf", n, Bs, M, B, Md, static_argnums=(9, 10, 11, 12)
+        )(Ps, ss, Pu, su, Pd, sd, xis1, Uv, pp.gs_planes(n), n, cw, padsT, beffsT)
+    else:
+        parts_r, ok_succ = pcdl.succinct_check_batch_device(flat, pp, mesh=mesh, axis=axis)
+        parts = parts_r
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec(None, axis, None))
+            Pu = cv.PointVec(*(jax.device_put(a, sh) for a in Pu))
+            su = jax.device_put(su, sh)
+        ok_u0 = cached_jit(pcdl._rows_and_isinf, "u0", B, 3)(Pu, su)
+        # the one final decider, verdict left on device (deferred n-MSM
+        # sharded over the mesh when given)
+        ok_dec = pcdl.check_device(
+            last.C_bar, last.d, last.z, last.v, last.pi, pp, mesh=mesh, axis=axis
+        )
 
     # ---- 2. per-step host bookkeeping (challenges + equality checks),
     # overlapping the device queue --------------------------------------
@@ -328,12 +454,16 @@ def verify_chain(
             raise ValueError(f"h(z) != v at step {k}")
 
     # ---- 3. ONE fetch for every device verdict ----------------------------
-    combined = _np.asarray(
-        cached_jit(lambda a, b, c: jnp.concatenate([a, b, c[None]]), "vc")(
-            ok_succ, ok_u0, ok_dec
+    if fused:
+        combined = _np.asarray(allok)
+        nS = Bs
+    else:
+        combined = _np.asarray(
+            cached_jit(lambda a, b, c: jnp.concatenate([a, b, c[None]]), "vc")(
+                ok_succ, ok_u0, ok_dec
+            )
         )
-    )
-    nS = int(ok_succ.shape[0])
+        nS = int(ok_succ.shape[0])
     for b in range(len(flat)):
         if not combined[b]:
             raise ValueError(f"C_(log_n) != CM.Commit_Sigma(c || v') (batch index {b})")

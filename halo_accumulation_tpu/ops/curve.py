@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from halo_accumulation_tpu.ops.field import FQ, FR, L, U32
+from halo_accumulation_tpu.ops.field import FQ, L
 
 B3 = 15  # 3 * b for y^2 = x^3 + 5
 

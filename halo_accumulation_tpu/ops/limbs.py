@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from halo_accumulation_tpu.ops.field import Field, L, MASK, W
+from halo_accumulation_tpu.ops.field import Field, L, W
 
 _U15 = np.uint32(0x7FFF)
 _W = np.uint32(W)

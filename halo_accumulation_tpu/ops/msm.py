@@ -472,11 +472,222 @@ def _group_windows(pads: list[int], beffs: list[int]):
     return groups
 
 
+# ---------------------------------------------------------------------------
+# Sort-payload Pippenger ("sortrows", the default since round 5).
+#
+# Round-4 probes (tools/tpu_sortmove_probe.py, tools/tpu_gather_probe.py)
+# established two facts that invalidate the rowperm pipeline's cost model:
+#   * EVERY dynamic gather is INDEX-RATE bound at ~60 ns/index, regardless
+#     of row width or locality - the per-slot (pad x buckets) row gather was
+#     the dominant MSM cost at every size (77 of 86 ms at N=2^14), and
+#   * lax.sort moves a 40-operand point payload essentially FOR FREE
+#     (31 ms with payload vs 30 ms key-only at N=2^20).
+# So this pipeline sorts the point COORDINATE PLANES along with the digit
+# key (no index packing, no inverse permutation, no sentinel rows), then
+# expands buckets with 8-ROW-ALIGNED BLOCK gathers - 8x fewer indexes - and
+# masks the ragged bucket edges INSIDE the reduction kernel using a
+# per-column (off, len) word (pallas_kernels.bucket_accum_masked).
+#
+# It also supports DUAL-OUTPUT MSMs (nroute=2): two scalar vectors with
+# disjoint support (the IPA open round's L and R, pcdl.rs:203-209) share
+# one sort per window by doubling the bucket space with a route bit; the
+# suffix weighting and Horner then produce both points from one pass.
+
+
+def planes_from_points(points: cv.PointVec):
+    """PointVec -> (3L, N) u32 coordinate planes (sort operands)."""
+    return jnp.concatenate([points.x, points.y, points.z], axis=0)
+
+
+def planes_from_affine(xs, ys):
+    """Affine limb planes -> (2L, N) u32; Z == 1 is synthesized from the
+    slot-validity mask inside the masked reduction."""
+    return jnp.concatenate([xs, ys], axis=0)
+
+
+def _sorted_group(planes, digits_g, pad: int, beff: int, nroute: int):
+    """One window group's weighted per-(window, route) sums from a payload
+    sort: returns (PointVec (L, Wg, nroute), ok_device).
+
+    digits_g: (Wg, N) u32 in [0, nroute*beff); N must be a multiple of 8."""
+    Wg, N = digits_g.shape
+    P = planes.shape[0]
+    btot = nroute * beff
+    ops = (digits_g,) + tuple(
+        jnp.broadcast_to(planes[i][None], (Wg, N)) for i in range(P)
+    )
+    srt = jax.lax.sort(ops, dimension=1, is_stable=False, num_keys=1)
+    skey = srt[0]
+    splanes = jnp.stack(srt[1:], axis=0)  # (P, Wg, N) in digit order
+    bvals = jnp.arange(btot, dtype=jnp.uint32)
+    first = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="left"))(skey)
+    nxt = jax.vmap(lambda row: jnp.searchsorted(row, bvals, side="right"))(skey)
+    count = (nxt - first).astype(jnp.int32)  # (Wg, btot)
+    # digit 0 of each route half is the zero-scalar dump bucket: weight 0,
+    # never gathered (len = 0), free to overflow
+    dump = (jnp.arange(btot, dtype=jnp.int32) % beff) == 0
+    count = jnp.where(dump[None], 0, count)
+    ok = jnp.max(count) <= pad
+    count = jnp.minimum(count, pad)
+    firsti = first.astype(jnp.int32)
+    a = firsti & ~7  # block-aligned bucket start
+    off = firsti - a  # 0..7
+    pad8 = (pad + 7) // 8 + 1  # blocks cover off + count <= 7 + pad
+    blk = a[None] // 8 + jnp.arange(pad8, dtype=jnp.int32)[:, None, None]
+    gidx = (blk + (jnp.arange(Wg, dtype=jnp.int32) * (N // 8))[None, :, None]).reshape(-1)
+    blocks = jnp.take(
+        splanes.reshape(P, Wg * (N // 8), 8), gidx, axis=1, mode="clip"
+    )  # (P, pad8*Wg*btot, 8); OOB/foreign-bucket rows are masked via meta
+    M = blocks.reshape(P, pad8, Wg, btot, 8)
+    M = jnp.moveaxis(M, 4, 2).reshape(P, pad8 * 8, Wg * btot)
+    meta = (off.astype(jnp.uint32) | (count.astype(jnp.uint32) << 3)).reshape(
+        1, Wg * btot
+    )
+    S = _masked_reduce(M, meta)  # (L, Wg*btot) bucket sums
+    S = cv.PointVec(*(x.reshape(L, Wg * nroute, beff) for x in S))
+    V = _suffix_weight(S, beff)  # (L, Wg*nroute)
+    return cv.PointVec(*(x.reshape(L, Wg, nroute) for x in V)), ok
+
+
+def _masked_reduce(M, meta) -> cv.PointVec:
+    """Reduce the pad axis of (P, pad', cols) sorted point data with
+    complete adds, per-column (off, len) masking dead slots to the
+    identity.  Pallas kernel on TPU; sequential fori elsewhere."""
+    from halo_accumulation_tpu.ops import pallas_kernels as pk
+
+    P, padp, cols = M.shape
+    if pk.enabled() and jax.default_backend() == "tpu":
+        g = _bucket_cols()
+        colsP = ((cols + g - 1) // g) * g
+        if colsP > cols:
+            M = jnp.pad(M, ((0, 0), (0, 0), (0, colsP - cols)))
+            meta = jnp.pad(meta, ((0, 0), (0, colsP - cols)))
+        ox, oy, oz = pk.bucket_accum_masked(M, meta)
+        return cv.PointVec(ox[:, :cols], oy[:, :cols], oz[:, :cols])
+    aff = P == 2 * L
+    offv = meta[0] & jnp.uint32(7)
+    lnv = meta[0] >> jnp.uint32(3)
+
+    def body(p, acc):
+        sl = jax.lax.dynamic_slice_in_dim(M, p, 1, axis=1)[:, 0]  # (P, cols)
+        pv = p.astype(jnp.uint32)
+        cond = (pv >= offv) & (pv < offv + lnv)
+        one = jnp.ones((cols,), jnp.uint32)
+        x = jnp.where(cond[None], sl[0:L], jnp.uint32(0))
+        y = jnp.concatenate(
+            [
+                jnp.where(cond, sl[L], one)[None],
+                jnp.where(cond[None], sl[L + 1 : 2 * L], jnp.uint32(0)),
+            ]
+        )
+        if aff:
+            z = jnp.concatenate(
+                [jnp.where(cond, one, jnp.uint32(0))[None], jnp.zeros((L - 1, cols), jnp.uint32)]
+            )
+        else:
+            z = jnp.where(cond[None], sl[2 * L : 3 * L], jnp.uint32(0))
+        return cv.padd(acc, cv.PointVec(x, y, z))
+
+    return jax.lax.fori_loop(0, padp, body, cv.identity((cols,)))
+
+
+def _horner_routes(xs, c: int):
+    """Horner window combine over (L, W, R) per-window points (msb window
+    first), batched over the route axis: (L, R) result."""
+    seq = tuple(jnp.moveaxis(a, 1, 0) for a in xs)  # (W, L, R)
+    R = xs[0].shape[2]
+
+    def body(acc, t):
+        acc = jax.lax.fori_loop(0, c, lambda _, p: cv.pdbl(p), acc)
+        return cv.padd(acc, cv.PointVec(*t)), 0.0
+
+    acc, _ = jax.lax.scan(body, cv.identity((R,)), seq)
+    return acc
+
+
+def _sortrows_msm(
+    planes, scalars, c: int, pads: list[int], beffs: list[int], route=None, nroute: int = 1
+):
+    """Sort-payload MSM: returns ([point] * nroute, ok_device), no host
+    sync.  planes: (2L, N) affine or (3L, N) projective coordinate planes;
+    route: optional (N,) int32 in [0, nroute) choosing each point's output
+    (supports must be disjoint in the scalar sense: a point contributes to
+    exactly one output)."""
+    digits = cached_jit(_digits, c, static_argnums=1)(scalars, c)
+    Vs, oks = [], []
+    for w0, w1, beff, pad in _expand_groups_sorted(pads, beffs, nroute):
+        dg = digits[w0:w1]
+        if route is not None:
+            dg = cached_jit(_route_digits, "rd", beff)(dg, route, beff)
+        V, okv = cached_jit(
+            _sorted_group, "sg", pad, beff, nroute, static_argnums=(2, 3, 4)
+        )(planes, dg, pad, beff, nroute)
+        Vs.append(V)
+        oks.append(okv)
+    if len(Vs) == 1:
+        V = Vs[0]
+    else:
+        V = cv.PointVec(*(jnp.concatenate([v[i] for v in Vs], axis=1) for i in range(3)))
+    acc = cached_jit(_horner_routes, "hr", c, V.x.shape[1], nroute, static_argnums=1)(
+        tuple(V), c
+    )
+    outs = [cv.PointVec(acc.x[:, r], acc.y[:, r], acc.z[:, r]) for r in range(nroute)]
+    ok = cached_jit(_all_true, "okS", len(oks), static_argnums=())(jnp.stack(oks))
+    return outs, ok
+
+
+def _route_digits(dg, route, beff):
+    return dg + route[None].astype(jnp.uint32) * jnp.uint32(beff)
+
+
+def msm_many_flagged(planes, scalars_many, c: int, pads: list[int], beffs: list[int]):
+    """K independent MSMs over ONE fixed basis, trace-safe (no host sync):
+    scalars_many (K, L, N) -> (PointVec (L, K), ok_device).
+
+    The K scalar vectors' window digits stack as K*W rows through the same
+    sort/gather/reduce machinery (each row sorts independently), and the
+    Horner window combine runs batched over K - so K deciders' deferred
+    n-MSMs (acc.rs:245-255 per chain step, the reference's "slow path")
+    cost one fused dispatch instead of K."""
+    K = scalars_many.shape[0]
+    digits = jax.vmap(lambda s: _digits(s, c))(scalars_many)  # (K, W, N)
+    W = digits.shape[1]
+    digits = digits.reshape(K * W, digits.shape[2])
+    Vs, oks = [], []
+    for w0, w1, beff, pad in _expand_groups_sorted(pads * K, beffs * K, 1):
+        V, okv = _sorted_group(planes, digits[w0:w1], pad, beff, 1)
+        Vs.append(V)
+        oks.append(okv)
+    if len(Vs) == 1:
+        V = Vs[0]
+    else:
+        V = cv.PointVec(*(jnp.concatenate([v[i] for v in Vs], axis=1) for i in range(3)))
+    V = cv.PointVec(*(x.reshape(L, K, W).transpose(0, 2, 1) for x in V))  # (L, W, K)
+    acc = _horner_routes(tuple(V), c)  # (L, K)
+    ok = jnp.all(jnp.stack(oks))
+    return acc, ok
+
+
+def _expand_groups_sorted(pads: list[int], beffs: list[int], nroute: int):
+    """(pad, beff) runs sub-chunked so each group's gathered matrix stays
+    inside the memory budget (measured in point columns)."""
+    out = []
+    for w0, w1, beff, pad in _group_windows(pads, beffs):
+        wc = max(1, _SCATTER_BUDGET_COLS // (beff * nroute * pad))
+        for ws in range(w0, w1, wc):
+            out.append((ws, min(ws + wc, w1), beff, pad))
+    return out
+
+
+_SORTROWS_MIN = 128  # below this the ladder/rowperm paths win
+
+
 def _impl() -> str:
-    """MSM implementation selector: 'rowperm' (default) or 'staged'
+    """MSM implementation selector: 'sortrows' (default), 'rowperm'
+    (round-3/4 inverse-permutation pipeline), or 'staged'
     (HALO_TPU_MSM_IMPL=staged; also the measured-pad fallback path and the
     building block of parallel/msm_sharded)."""
-    return os.environ.get("HALO_TPU_MSM_IMPL", "rowperm")
+    return os.environ.get("HALO_TPU_MSM_IMPL", "sortrows")
 
 
 def _staged_msm(points: cv.PointVec, digits, c: int, pads: list[int], beffs: list[int]) -> cv.PointVec:
@@ -530,13 +741,18 @@ def msm_flagged(
     c: int | None = None,
     pads: list[int] | None = None,
     rows=None,
+    planes=None,
 ):
     """MSM with PINNED pads: no host round-trip before dispatch.  Returns
     (point, ok) where ok is a DEVICE bool - False means some bucket
     overflowed its pinned pad and the point is unreliable (the caller must
     fall back to msm(), which measures).  Lets latency-critical callers
     (decider/verify paths: one tunnel round trip is ~30 ms) defer every
-    fetch to a single combined sync."""
+    fetch to a single combined sync.
+
+    rows: precomputed (N+1, 40/64) row table (rowperm path); planes:
+    precomputed (2L/3L, N) coordinate planes (sortrows path) - the URS
+    paths pass pp.gs_planes to skip the per-call concat."""
     N = points.x.shape[1]
     if pads is None and N <= 256:
         # tiny fixed-base commits (degree-15 test/dryrun deciders): the
@@ -547,7 +763,16 @@ def msm_flagged(
     if pads is None:
         pads = pinned_pads(N, c)
     beffs = _beffs(c)
-    if _impl() == "rowperm":
+    if _impl() == "sortrows" and N >= _SORTROWS_MIN:
+        if planes is None:
+            points, scalars = _pad_points(points, scalars, 8)
+            Np = points.x.shape[1]
+            planes = cached_jit(planes_from_points, "pfp", Np)(points)
+        else:
+            assert planes.shape[1] % 8 == 0, "sortrows planes need N % 8 == 0"
+        outs, ok = _sortrows_msm(planes, scalars, c, pads, beffs)
+        return outs[0], ok
+    if _impl() == "rowperm" or _impl() == "sortrows":
         return _rowperm_msm(points, scalars, c, pads, beffs, rows=rows)
     if any(be * p > _SCATTER_BUDGET_COLS for be, p in zip(beffs, pads)):
         pt = msm(points, scalars, c)
@@ -568,21 +793,25 @@ def _measure_pad(digits, c: int, tag: str = "w") -> int:
     return max(_measure_pads(digits, c, tag))
 
 
-def msm(points: cv.PointVec, scalars, c: int | None = None, rows=None) -> cv.PointVec:
+def msm(
+    points: cv.PointVec, scalars, c: int | None = None, rows=None, planes=None
+) -> cv.PointVec:
     """MSM over the Pallas curve: sum_i scalars_i * points_i.
 
     points: PointVec with batch (N,); scalars: (L, N) Fr limbs.
-    Default (rowperm) path: pinned pads, one device round per window group,
-    then ONE host sync on the validity flag; the astronomically-rare pad
-    overflow falls back to the measured staged path.  rows: optional
-    precomputed row table (see _rowperm_msm).  Returns a single projective
-    point (batch ())."""
+    Default (sortrows) path: pinned pads, one device round per window
+    group, then ONE host sync on the validity flag; the astronomically-rare
+    pad overflow falls back to the measured staged path.  rows/planes:
+    optional precomputed tables (see msm_flagged).  Returns a single
+    projective point (batch ())."""
     N = points.x.shape[1]
     assert scalars.shape == (L, N)
     if c is None:
         c = window_size(N)
-    if _impl() == "rowperm":
-        pt, ok = _rowperm_msm(points, scalars, c, pinned_pads(N, c), _beffs(c), rows=rows)
+    if _impl() in ("sortrows", "rowperm"):
+        pt, ok = msm_flagged(
+            points, scalars, c=c, pads=pinned_pads(N, c), rows=rows, planes=planes
+        )
         if bool(np.asarray(ok)):
             return pt
         return _msm_measured(points, scalars, c)

@@ -247,6 +247,89 @@ def bucket_accum(Mt):
     return tuple(o.reshape(L, colsP) for o in (ox, oy, oz))
 
 
+# ---------------------------------------------------------------------------
+# MASKED bucket accumulation for the sort-payload MSM (ops/msm.py sortrows
+# pipeline).  Input is point data in SORTED-by-digit order, block-gathered at
+# 8-row granularity (8x fewer gather indexes - the per-element gather was the
+# dominant MSM cost, ~60 ns/index: tools/tpu_gather_probe.py).  Because block
+# alignment pulls in up to 7 rows of the neighboring buckets, each column
+# carries (off, len) metadata packed off | len << 3 in one u32; slot p is
+# live iff off <= p < off + len, dead slots are replaced by the identity
+# in-kernel.  lanes = 36 (affine x||y, Z synthesized as the mask) or 54
+# (projective x||y||z).
+
+
+def _bucket_kernel_masked(aff: bool, meta_ref, in_ref, ox, oy, oz):
+    p = pl.program_id(1)
+    meta = meta_ref[0]  # (br, 128) u32
+    off = meta & jnp.uint32(7)
+    ln = meta >> jnp.uint32(3)
+    pv = jnp.uint32(p)
+    cond = (pv >= off) & (pv < off + ln)
+    zero = meta - meta
+    one = zero + jnp.uint32(1)
+    xs = [jnp.where(cond, in_ref[i, 0], zero) for i in range(L)]
+    ys = [jnp.where(cond, in_ref[L, 0], one)] + [
+        jnp.where(cond, in_ref[L + i, 0], zero) for i in range(1, L)
+    ]
+    if aff:
+        zs = [jnp.where(cond, one, zero)] + [zero] * (L - 1)
+    else:
+        zs = [jnp.where(cond, in_ref[2 * L + i, 0], zero) for i in range(L)]
+
+    @pl.when(p == 0)
+    def _():
+        for i in range(L):
+            ox[i] = zero
+            oy[i] = one if i == 0 else zero
+            oz[i] = zero
+
+    acc = (_split(ox), _split(oy), _split(oz))
+    nx, ny, nz = padd_limbs(acc, (xs, ys, zs))
+    _store(ox, nx)
+    _store(oy, ny)
+    _store(oz, nz)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret", "br"))
+def _bucket_masked_call(Mt, meta, lanes: int, interpret: bool, br: int = 8):
+    _, pad, R, _ = Mt.shape
+    in_spec = pl.BlockSpec(
+        (lanes, 1, br, 128), lambda j, p: (0, p, j, 0), memory_space=pltpu.VMEM
+    )
+    meta_spec = pl.BlockSpec((1, br, 128), lambda j, p: (0, j, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((L, br, 128), lambda j, p: (0, j, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, R, 128), jnp.uint32)
+    kern = functools.partial(_bucket_kernel_masked, lanes == 2 * L)
+    return pl.pallas_call(
+        kern,
+        out_shape=(shape, shape, shape),
+        grid=(R // br, pad),
+        in_specs=[meta_spec, in_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(meta, Mt)
+
+
+def bucket_accum_masked(Mt, meta):
+    """Reduce the pad axis of sort-ordered block-gathered point data.
+
+    Mt: (lanes, pad, colsP) u32, lanes in {36, 54}, colsP a multiple of
+    br*128; meta: (1, colsP) u32 with off | len << 3 per column.  Returns
+    (x, y, z) each (L, colsP): per-column bucket sums with complete adds,
+    dead slots contributing the identity."""
+    lanes, pad, colsP = Mt.shape
+    br = _block_rows()
+    assert colsP % (br * 128) == 0, colsP
+    Mt4 = Mt.reshape(lanes, pad, colsP // 128, 128)
+    meta3 = meta.reshape(1, colsP // 128, 128)
+    ox, oy, oz = _bucket_masked_call(Mt4, meta3, lanes, _interpret(), br)
+    return tuple(o.reshape(L, colsP) for o in (ox, oy, oz))
+
+
 def _pdbl_kernel(x, y, z, ox, oy, oz):
     P = limbs.pdbl_list(_LF, (_split(x), _split(y), _split(z)))
     _store(ox, P[0])

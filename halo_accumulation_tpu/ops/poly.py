@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from halo_accumulation_tpu.ops.field import FR, L
+from halo_accumulation_tpu.ops.field import FR
 
 
 def powers(z_limbs, n: int):

@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
-from halo_accumulation_tpu.ops.field import FR, L
+
 from halo_accumulation_tpu.runtime import cached_jit
 
 AXIS = "shards"

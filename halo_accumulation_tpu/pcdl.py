@@ -158,6 +158,14 @@ class EvalProof:
         return cls(Ls, Rs, U, c, C_bar, w_prime)
 
 
+def _gs_tables(pp: pp_mod.PublicParams, k: int) -> dict:
+    """Precomputed URS table kwarg for the active MSM impl (only the one it
+    uses: each table is O(N) device memory at large degree)."""
+    if msm_mod._impl() == "sortrows" and k >= msm_mod._SORTROWS_MIN:
+        return {"planes": pp.gs_planes(k)}
+    return {"rows": pp.gs_rows(k)}
+
+
 def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     """C = Pedersen commit of the coefficient vector over GS[0..d+1]
     (pcdl.rs:99-110 -> pedersen.rs:6-20).  coeffs: (L, k) device array or
@@ -176,7 +184,7 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
     assert k <= n
-    C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs, rows=pp.gs_rows(k)))
+    C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs, **_gs_tables(pp, k)))
     if w is not None:
         C = H.p_add(C, H.p_mul(w, pp.s))
     return C
@@ -267,23 +275,51 @@ def open_(
     xi = tr.rho_0(ser.ser_point(C_prime), ser.ser_scalar(z), ser.ser_scalar(v))
     H_prime = H.p_mul(xi, pp.h)
 
-    # ---- the lg(n) fold rounds, FIXED-WIDTH (pcdl.rs:195-227) ------------
-    # Every round runs at static width n with a TRACED current half-width
-    # m: hi-halves are modular rolls, inactive lanes are masked to zero
-    # scalars (and dump-bucket MSM columns), so the ENTIRE ladder reuses
-    # ONE compiled round kernel + ONE pinned-pad MSM shape class.  Exact
-    # per-round shapes would compile ~2 kernels x lg(n) rounds - tens of
-    # multi-minute XLA compiles through the remote tunnel (the round-2
-    # bench killer).  The extra compute on masked lanes is ~7x the exact
-    # sum but runs on the Pallas point kernels (cheap); latency and
-    # compiles dominate the prover, not lane math.
+    # ---- the lg(n) fold rounds, EXPANSION-BASED (pcdl.rs:195-227) --------
+    # The reference folds the GENERATORS every round (gs[j] += xi*gs[j+m],
+    # pcdl.rs:218) - a per-point scalar mul, the prover's dominant cost.
+    # Here the basis never folds: a width-n tensor-coefficient vector t
+    # (t[j'] = product of the challenges selected by j's high bits - the
+    # same structure as h(X)'s coefficients, pcdl.rs:486-509) tracks the
+    # folded basis over the ORIGINAL affine URS, so
+    #
+    #     L_i = <c_hi, G^(i)_lo> = <t * c_hi_broadcast * lo_mask, G>
+    #     R_i = <c_lo, G^(i)_hi> = <t * c_lo_broadcast * hi_mask, G>
+    #
+    # become FIXED-BASE MSMs with disjoint supports, which the sort-payload
+    # pipeline computes as ONE dual-output pass per round (ops/msm.py
+    # _sortrows_msm, nroute=2), and U = G^(lg n)[0] = <t_final, G> is one
+    # final fixed-base MSM.  Point work per round: one MSM; the fold itself
+    # is field-only (O(n) muls).  Every device step runs at static width n
+    # with a TRACED half-width m, so the whole ladder reuses one compiled
+    # shape set (per-round exact shapes were the round-2 compile killer).
     import jax.numpy as jnp
 
     cs = coeffs
     if cs.shape[1] < n:
         cs = jnp.concatenate([cs, FR.zeros((n - cs.shape[1],))], axis=1)
     zs = cached_jit(poly_mod.powers, n, static_argnums=1)(zl, n)
-    gs = pp.gs_points(n)
+    t = FR.from_int(1, (n,))
+    small = n <= 256  # the exact ladder MSM beats bucket machinery here
+    use_sortrows = not small and not _safe and msm_mod._impl() == "sortrows"
+
+    # Device-transcript fold: the whole lg(n) ladder (MSMs, normalization,
+    # SHA3 challenges, folds) as ONE dispatch + ONE fetch - no per-round
+    # host round-trips.  Requires the sortrows MSM and no mesh (the fused
+    # fori's sort does not shard usefully).
+    import os as _os
+
+    if (
+        use_sortrows
+        and mesh is None
+        and H_prime is not None
+        and _os.environ.get("HALO_TPU_OPEN_DEVICE", "1") != "0"
+    ):
+        return _open_device(
+            rng, orig_coeffs, cs, zs, C, d, z, w, pp, C_bar, w_prime, xi, H_prime
+        )
+    planes = pp.gs_planes(n) if (use_sortrows or not small) else None
+    gs = pp.gs_points(n) if (small or not use_sortrows) else None
 
     if mesh is not None:
         import jax
@@ -292,28 +328,36 @@ def open_(
         sh = NamedSharding(mesh, PartitionSpec(None, axis or mesh.axis_names[0]))
         cs = jax.device_put(cs, sh)
         zs = jax.device_put(zs, sh)
-        gs = cv.PointVec(*(jax.device_put(a, sh) for a in gs))
+        t = jax.device_put(t, sh)
+        if planes is not None:
+            planes = jax.device_put(planes, sh)
+        if gs is not None:
+            gs = cv.PointVec(*(jax.device_put(a, sh) for a in gs))
 
     Ls, Rs = [], []
     flags: list | None = None if _safe else []
-    small = n <= 256  # the exact ladder MSM beats bucket machinery here
-    pads5 = msm_mod.pinned_pads(max(n // 2, 1), 5)
+    c_dual = msm_mod.window_size(max(n // 2, 1))
+    pads_dual = msm_mod.pinned_pads(max(n // 2, 1), c_dual)
+    beffs_dual = msm_mod._beffs(c_dual)
     pre = cached_jit(_open_round_pre, n)
     fold = cached_jit(_open_round_fold, n)
     m = n // 2
     while m >= 1:
         mm = jnp.int32(m)
-        Lscal, Rscal, gR, dot_l, dot_r = pre(gs, cs, zs, mm)
-        if small:
-            Lp = msm_mod.msm_ladder(gs, Lscal)
-            Rp = msm_mod.msm_ladder(gR, Rscal)
-        elif _safe:
-            Lp = msm_mod.msm(gs, Lscal, c=5)
-            Rp = msm_mod.msm(gR, Rscal, c=5)
+        s_comb, route, dot_l, dot_r = pre(cs, zs, t, mm)
+        if use_sortrows:
+            (Lp, Rp), okv = msm_mod._sortrows_msm(
+                planes, s_comb, c_dual, pads_dual, beffs_dual, route=route, nroute=2
+            )
+            flags.append(okv)
         else:
-            Lp, f1 = msm_mod.msm_flagged(gs, Lscal, c=5, pads=pads5)
-            Rp, f2 = msm_mod.msm_flagged(gR, Rscal, c=5, pads=pads5)
-            flags.extend([f1, f2])
+            eL, eR = cached_jit(_split_routes, n)(s_comb, route)
+            if small:
+                Lp = msm_mod.msm_ladder(gs, eL)
+                Rp = msm_mod.msm_ladder(gs, eR)
+            else:
+                Lp = msm_mod.msm(gs, eL)
+                Rp = msm_mod.msm(gs, eR)
         # ONE fetch for both points and both dot products (a tunnel round
         # trip costs ~25 ms and the lg(n) rounds are inherently sequential,
         # so per-round fetch count is the prover's latency floor)
@@ -325,8 +369,8 @@ def open_(
         xi_next = tr.rho_0(ser.ser_scalar(xi), ser.ser_point(Lh), ser.ser_point(Rh))
         xi = xi_next
         xi_inv = pow(xi_next, -1, F.R)
-        gs, cs, zs = fold(
-            gs, cs, zs, mm, FR.from_ints([xi_next])[:, 0], FR.from_ints([xi_inv])[:, 0]
+        cs, zs, t = fold(
+            cs, zs, t, mm, FR.from_ints([xi_next])[:, 0], FR.from_ints([xi_inv])[:, 0]
         )
         m //= 2
 
@@ -336,7 +380,11 @@ def open_(
             # a pinned pad overflowed somewhere: rebuild the proof through
             # the measured MSM path (fresh prover randomness; same inputs)
             return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True, mesh=mesh, axis=axis)
-    U = point_to_host(cv.PointVec(gs.x[:, 0], gs.y[:, 0], gs.z[:, 0]))
+    # U = G^(lg n)[0] = <t_final, G>: t_final IS h's coefficient vector
+    if small:
+        U = point_to_host(msm_mod.msm_ladder(gs, t))
+    else:
+        U = point_to_host(msm_mod.msm(pp.gs_points(n), t, planes=planes))
     c = int(FR.to_ints(cs[:, 0]))
     return EvalProof(Ls, Rs, U, c, C_bar, w_prime)
 
@@ -376,49 +424,229 @@ def _fetch_round(Lp: cv.PointVec, Rp: cv.PointVec, dot_l, dot_r):
     return to_pt(0), to_pt(3 * L), to_int(6 * L) % F.R, to_int(7 * L) % F.R
 
 
-def _open_round_pre(gs, cs, zs, m):
-    """Pre-fold quantities of one IPA round at fixed width n, traced m:
+def _open_round_pre(cs, zs, t, m):
+    """Pre-fold quantities of one expansion-based IPA round at fixed width
+    n, traced half-width m (current fold width w = 2m; cs/zs lanes >= w are
+    zero, t is dense):
 
-      Lscal[i] = cs[i+m] for i < m else 0   (scalars of L = <c_hi, G_lo>)
-      Rscal[i] = cs[i]   for i < m else 0   (scalars of R = <c_lo, G_hi>)
-      gR       = G rolled by m              (points of R; extra lanes get
-                                             scalar 0 -> dump bucket)
-      dot_l    = <c_hi, z_lo>,  dot_r = <c_lo, z_hi>
-    """
+      s_comb[j] = t[j] * c[(j mod m) + m]  if (j & m) == 0   (L's scalars)
+                  t[j] * c[j mod m]        otherwise         (R's scalars)
+      route[j]  = (j & m) != 0             (which output the lane feeds)
+      dot_l     = <c_hi, z_lo>,  dot_r = <c_lo, z_hi>
+
+    The two supports are disjoint, so one dual-output MSM computes both
+    L = <c_hi, G^(i)_lo> and R = <c_lo, G^(i)_hi> over the ORIGINAL basis."""
     import jax.numpy as jnp
 
     n = cs.shape[1]
     i = jnp.arange(n, dtype=jnp.int32)
-    hi = (i + m) % n
+    jm = i & (m - 1)  # j mod m (m is a power of two)
+    lo = (i & m) == 0  # (j mod 2m) < m
+    c_lo_b = jnp.take(cs, jm, axis=1)
+    c_hi_b = jnp.take(cs, jm + m, axis=1)
+    s_comb = FR.mul(t, jnp.where(lo[None], c_hi_b, c_lo_b))
+    route = (~lo).astype(jnp.int32)
     mask = (i < m)[None, :]
     zero = FR.zeros((n,))
-    c_hi = jnp.where(mask, jnp.take(cs, hi, axis=1), zero)
-    z_hi = jnp.where(mask, jnp.take(zs, hi, axis=1), zero)
-    gR = cv.gather_points(gs, hi)
+    ip = jnp.minimum(i + m, n - 1)
+    c_hi = jnp.where(mask, jnp.take(cs, ip, axis=1), zero)
+    z_hi = jnp.where(mask, jnp.take(zs, ip, axis=1), zero)
     dot_l = FR.sum_along(FR.mul(c_hi, zs), 0)
     dot_r = FR.sum_along(FR.mul(jnp.where(mask, cs, zero), z_hi), 0)
-    Rscal = jnp.where(mask, cs, zero)
-    return c_hi, Rscal, gR, dot_l, dot_r
+    return s_comb, route, dot_l, dot_r
 
 
-def _open_round_fold(gs, cs, zs, m, xi, xi_inv):
-    """Fold all three vectors with the round challenge (pcdl.rs:216-224) at
-    fixed width, traced m.  Lanes >= m: scalars zeroed; points become
-    valid-but-unused combinations (their MSM scalars are always 0)."""
+def _open_round_fold(cs, zs, t, m, xi, xi_inv):
+    """Fold the coefficient/power vectors with the round challenge
+    (pcdl.rs:216-224) and absorb xi into the tensor-coefficient vector t at
+    bit position lg(m) - field-only, no point work.  Fixed width, traced m;
+    lanes >= m of cs/zs are zeroed."""
     import jax.numpy as jnp
 
     n = cs.shape[1]
     i = jnp.arange(n, dtype=jnp.int32)
-    hi = (i + m) % n
     mask = (i < m)[None, :]
     zero = FR.zeros((n,))
-    c_hi = jnp.take(cs, hi, axis=1)
-    z_hi = jnp.take(zs, hi, axis=1)
-    g_hi = cv.gather_points(gs, hi)
-    g_new = cv.padd(gs, cv.pmul_shared(xi, g_hi))
+    ip = jnp.minimum(i + m, n - 1)
+    c_hi = jnp.take(cs, ip, axis=1)
+    z_hi = jnp.take(zs, ip, axis=1)
     c_new = jnp.where(mask, FR.add(cs, poly_mod.scale(c_hi, xi_inv)), zero)
     z_new = jnp.where(mask, FR.add(zs, poly_mod.scale(z_hi, xi)), zero)
-    return g_new, c_new, z_new
+    hi_bit = ((i & m) != 0)[None, :]
+    t_new = jnp.where(hi_bit, poly_mod.scale(t, xi), t)
+    return c_new, z_new, t_new
+
+
+def _split_routes(s_comb, route):
+    """Dual-MSM scalars -> two masked width-n vectors (ladder/measured
+    fallback paths, where the MSM has no route support)."""
+    import jax.numpy as jnp
+
+    zero = FR.zeros((s_comb.shape[1],))
+    lo = (route == 0)[None, :]
+    return jnp.where(lo, s_comb, zero), jnp.where(lo, zero, s_comb)
+
+
+def _open_device(rng, orig_coeffs, cs, zs, C, d, z, w, pp, C_bar, w_prime, xi0_int, H_prime):
+    """open_'s device-transcript path: one fused dispatch for the whole
+    fold (see _open_fold_device) + one result fetch; falls back to the
+    measured host-hashed path on the astronomically-rare pad overflow.
+    Proof bytes are bit-identical to the host-transcript path
+    (tests/test_pcdl.py::test_open_device_matches_host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu.ops import msm as msm_mod
+
+    n = d + 1
+    lg_n = n.bit_length() - 1
+    planes = pp.gs_planes(n)
+    # H' rides as two extra basis columns (scalars: the per-round dot
+    # products, one per route), plus zero pads to keep N % 8 == 0
+    hx = FQ.from_ints([H_prime[0], H_prime[0]])
+    hy = FQ.from_ints([H_prime[1], H_prime[1]])
+    ext = jnp.concatenate([hx, hy], axis=0)  # (2L, 2)
+    zeros6 = jnp.zeros((2 * L, 6), jnp.uint32)
+    planes_ext = cached_jit(
+        lambda p, e, z6: jnp.concatenate([p, e, z6], axis=1), "pex", n
+    )(planes, ext, zeros6)
+    c_dual = msm_mod.window_size(max(n // 2, 1))
+    pads_dual = tuple(msm_mod.pinned_pads(max(n // 2, 1), c_dual))
+    beffs_dual = tuple(msm_mod._beffs(c_dual))
+    cU = msm_mod.window_size(n)
+    padsU = tuple(msm_mod.pinned_pads(n, cU))
+    beffsU = tuple(msm_mod._beffs(cU))
+    xi0 = FR.from_ints([xi0_int])[:, 0]
+    out = cached_jit(
+        _open_fold_device, "ofd", n, c_dual, cU,
+        static_argnums=(4, 5, 6, 7, 8, 9, 10),
+    )(planes_ext, cs, zs, xi0, lg_n, c_dual, pads_dual, beffs_dual, cU, padsU, beffsU)
+    Lx, Ly, Li, Rx, Ry, Ri, Uax, Uay, Uinf, c0, ok = jax.device_get(out)  # ONE fetch
+    if not bool(ok):
+        # a pinned pad overflowed somewhere: rebuild the proof through the
+        # measured MSM path (fresh prover randomness; same inputs)
+        return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True)
+
+    def to_int(limbs) -> int:
+        return sum(int(v) << (W * k) for k, v in enumerate(limbs))
+
+    def to_pt(xl, yl, infl) -> Point:
+        return None if bool(infl) else (to_int(xl), to_int(yl))
+
+    Ls = [to_pt(Lx[i], Ly[i], Li[i]) for i in range(lg_n)]
+    Rs = [to_pt(Rx[i], Ry[i], Ri[i]) for i in range(lg_n)]
+    U = to_pt(Uax, Uay, Uinf)
+    return EvalProof(Ls, Rs, U, to_int(c0), C_bar, w_prime)
+
+
+def _ser_point_words(ax, ay, inf):
+    """Device ser_point pieces: (8 u32 x-words with x=0 at infinity, flag
+    byte u32) matching utils/serialize.ser_point bit-for-bit."""
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu.ops import keccak as kk
+
+    x = jnp.where(inf, jnp.uint32(0), ax)
+    xw = kk.limbs_to_words(x)
+    gt = kk.limbs_gt_const(ay, (F.Q - 1) // 2)  # y > Q - y  <=>  y > (Q-1)/2
+    flag = jnp.where(
+        inf, jnp.uint32(ser.SW_INFINITY), jnp.where(gt, jnp.uint32(ser.SW_Y_NEG), jnp.uint32(0))
+    )
+    return xw, flag
+
+
+def _rho_round_device(xi, Lax, Lay, Linf, Rax, Ray, Rinf):
+    """Device xi_{i+1} = rho_0(xi_i, L, R) (pcdl.rs:212): assemble the
+    98-byte ark-serialize message + 4-byte tag and hash on device."""
+    import numpy as _onp
+
+    from halo_accumulation_tpu.ops import keccak as kk
+
+    msg = [_onp.uint32(0)] * 27  # ceil(102/4) + spill room = 26+1
+    msg = kk.emit_bytes(msg, 0, kk.limbs_to_words(xi), 32)
+    Lxw, Lflag = _ser_point_words(Lax, Lay, Linf)
+    msg = kk.emit_bytes(msg, 32, Lxw, 32)
+    msg[16] = msg[16] | Lflag  # flag byte at offset 64
+    Rxw, Rflag = _ser_point_words(Rax, Ray, Rinf)
+    msg = kk.emit_bytes(msg, 65, Rxw, 32)
+    msg[24] = msg[24] | (Rflag << _onp.uint32(8))  # flag byte at offset 97
+    # bytes 98..101 are the appended rho_0 tag (0u32 LE) = zeros
+    dig = kk.sha3_256_words(msg, 102)
+    return kk.mod_r_256(kk.words_to_limbs(dig))
+
+
+def _open_fold_device(
+    planes_ext,
+    cs,
+    zs,
+    xi0,
+    lg_n: int,
+    c_dual: int,
+    pads_dual: tuple,
+    beffs_dual: tuple,
+    cU: int,
+    padsU: tuple,
+    beffsU: tuple,
+):
+    """The ENTIRE lg(n) IPA fold as one traced graph: per round one
+    dual-output fixed-base MSM (H' rides as two extra basis columns with
+    the <c,z> dot products as scalars, so L/R come out complete), on-device
+    batch normalization, on-device Fiat-Shamir (ops/keccak.py), Fermat
+    inversion of the challenge, and the field-only fold.  No host
+    round-trips: the lg(n) * ~25 ms tunnel-fetch floor of the host-hashed
+    path disappears.  Returns stacked affine L/R rounds, U, c(0), and the
+    all-pads-valid flag."""
+    import jax
+    import jax.numpy as jnp
+
+    from halo_accumulation_tpu.ops import msm as msm_mod
+    from halo_accumulation_tpu.ops.field import FQ as _FQ
+
+    n = cs.shape[1]
+    t0 = FR.from_int(1, (n,))
+    Z = jnp.zeros((lg_n, L), jnp.uint32)
+    Zb = jnp.zeros((lg_n,), jnp.bool_)
+    ok0 = jnp.bool_(True)
+
+    def body(i, st):
+        cs, zs, t, xi, Lx, Ly, Li, Rx, Ry, Ri, ok = st
+        m = jnp.int32(n) >> (i + 1)
+        s_comb, route, dot_l, dot_r = _open_round_pre(cs, zs, t, m)
+        s_ext = jnp.concatenate([s_comb, dot_l[:, None], dot_r[:, None], FR.zeros((6,))], axis=1)
+        route_ext = jnp.concatenate(
+            [route, jnp.asarray([0, 1, 0, 0, 0, 0, 0, 0], jnp.int32)]
+        )
+        (Lp, Rp), okv = msm_mod._sortrows_msm(
+            planes_ext, s_ext, c_dual, list(pads_dual), list(beffs_dual),
+            route=route_ext, nroute=2,
+        )
+        both = cv.PointVec(
+            jnp.stack([Lp.x, Rp.x], axis=1),
+            jnp.stack([Lp.y, Rp.y], axis=1),
+            jnp.stack([Lp.z, Rp.z], axis=1),
+        )
+        ax, ay, inf = cv.to_affine(both)
+        xi_next = _rho_round_device(
+            xi, ax[:, 0], ay[:, 0], inf[0], ax[:, 1], ay[:, 1], inf[1]
+        )
+        xi_inv = FR.inv(xi_next)
+        cs, zs, t = _open_round_fold(cs, zs, t, m, xi_next, xi_inv)
+        Lx = Lx.at[i].set(ax[:, 0])
+        Ly = Ly.at[i].set(ay[:, 0])
+        Li = Li.at[i].set(inf[0])
+        Rx = Rx.at[i].set(ax[:, 1])
+        Ry = Ry.at[i].set(ay[:, 1])
+        Ri = Ri.at[i].set(inf[1])
+        return (cs, zs, t, xi_next, Lx, Ly, Li, Rx, Ry, Ri, ok & okv)
+
+    st = (cs, zs, t0, xi0, Z, Z, Zb, Z, Z, Zb, ok0)
+    cs, zs, t, xi, Lx, Ly, Li, Rx, Ry, Ri, ok = jax.lax.fori_loop(0, lg_n, body, st)
+    t_ext = jnp.concatenate([t, FR.zeros((8,))], axis=1)
+    (Up,), okU = msm_mod._sortrows_msm(planes_ext, t_ext, cU, list(padsU), list(beffsU))
+    Usingle = cv.PointVec(Up.x[:, None], Up.y[:, None], Up.z[:, None])
+    Uax, Uay, Uinf = cv.to_affine(Usingle)
+    c0 = FR.canon(cs[:, 0])
+    return (Lx, Ly, Li, Rx, Ry, Ri, Uax[:, 0], Uay[:, 0], Uinf[0], c0, ok & okU)
 
 
 def _mul_by_linear(q, zl):
@@ -573,7 +801,7 @@ def commit_device(coeffs, d: int, pp: pp_mod.PublicParams):
     assert n & (n - 1) == 0 and n <= pp.n
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
-    return msm_mod.msm_flagged(pp.gs_points(k), coeffs, rows=pp.gs_rows(k))
+    return msm_mod.msm_flagged(pp.gs_points(k), coeffs, **_gs_tables(pp, k))
 
 
 def check_device(

@@ -25,13 +25,12 @@ import hashlib
 import os
 import pathlib
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from halo_accumulation_tpu import fields as F
 from halo_accumulation_tpu.ops import curve as cv
-from halo_accumulation_tpu.ops.field import FQ, FR, L, int_to_limbs
+from halo_accumulation_tpu.ops.field import FQ, L, int_to_limbs
 from halo_accumulation_tpu.runtime import cached_jit
 
 GENESIS = b"To understand recursion, one must first understand recursion"
@@ -96,6 +95,7 @@ class PublicParams:
         self.h = h
         self._gs_host: list = []
         self._gs_rows: dict[int, object] = {}
+        self._gs_planes: dict[int, object] = {}
 
     def gs_points(self, n: int) -> cv.PointVec:
         """First n generators as a projective PointVec (Z=1)."""
@@ -115,6 +115,17 @@ class PublicParams:
                 self.gs_x[:, :n], self.gs_y[:, :n]
             )
             self._gs_rows[n] = r
+        return r
+
+    def gs_planes(self, n: int):
+        """First n generators as cached (2L, n) AFFINE coordinate planes
+        for the sort-payload MSM (ops/msm planes_from_affine): the
+        fixed-base commit/decider MSMs sort these as lax.sort payload
+        operands (Z == 1 is synthesized by the masked reduction)."""
+        r = self._gs_planes.get(n)
+        if r is None:
+            r = jnp.concatenate([self.gs_x[:, :n], self.gs_y[:, :n]], axis=0)
+            self._gs_planes[n] = r
         return r
 
     def gs_host(self, k: int = 8) -> list:

@@ -2,7 +2,6 @@
 test_acc_scheme): random instances accumulated step by step, verifier at
 each step, decider at the end; rejection paths covered."""
 
-import numpy as np
 import pytest
 
 from halo_accumulation_tpu import acc as acc_mod

@@ -4,7 +4,6 @@ accumulator checkpoint roundtrip, and the public API facade.
 Mirrors the reference's E2E test style (acc.rs:298-315) plus the benchmark
 helpers' chain shape (benches/acc.rs:76-106)."""
 
-import numpy as np
 import pytest
 
 from halo_accumulation_tpu import acc as acc_mod

@@ -7,7 +7,6 @@ inherits silently; also mirrors consts reconstruction coverage
 test_pp.py)."""
 
 import numpy as np
-import pytest
 
 from halo_accumulation_tpu import fields as F
 from halo_accumulation_tpu.ops import curve as cv

@@ -6,6 +6,8 @@ Covers N >= 1024 (above the round-1 TPU fused-kernel failure threshold:
 the sharded path must only ever use the staged stage-1 kernel) and a
 non-power-of-two device split."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -26,7 +28,16 @@ def _random_problem(rng, N):
     return pts, ss
 
 
-@pytest.mark.parametrize("n_dev,N", [(8, 64), (3, 96), (8, 256), (8, 1024)])
+_HEAVY = os.environ.get("HALO_TEST_HEAVY", "0") != "0"
+
+
+@pytest.mark.parametrize(
+    "n_dev,N",
+    [(8, 64), (3, 96), (8, 256)]
+    # N=1024 covers window grouping/padding above the small-N regime
+    # (ADVICE r4 low); ~10 min of XLA:CPU compile, so opt-in.
+    + ([(8, 1024)] if _HEAVY else []),
+)
 def test_msm_sharded_matches(rng, n_dev, N):
     assert len(jax.devices()) == 8, f"expected 8 virtual devices, got {len(jax.devices())}"
     mesh = pms.make_mesh(n_dev)

@@ -102,3 +102,31 @@ def test_commit_homomorphism(rng, pp):
     lhs = pcdl.commit([(a + b) % F.R for a, b in zip(m1, m2)], d, (w1 + w2) % F.R, pp)
     rhs = F.p_add(pcdl.commit(m1, d, w1, pp), pcdl.commit(m2, d, w2, pp))
     assert lhs == rhs
+
+
+def test_open_device_matches_host(rng, monkeypatch):
+    """The device-transcript fused open (_open_fold_device: on-device SHA3
+    challenges, H'-as-basis-columns, fused fori ladder) must produce
+    BYTE-IDENTICAL proofs to the host-hashed path at a degree above the
+    small-width ladder shortcut."""
+    n = 512
+    pp5 = pp_mod.get_pp(n)
+    d = n - 1
+    p = rand_fr(rng, 300)
+    z = rand_fr(rng, 1)[0]
+    v = eval_host(p, z)
+    from halo_accumulation_tpu.ops.field import FR
+
+    cd = FR.from_ints(p)
+    C = pcdl.commit(cd, d, None, pp5)
+    monkeypatch.setenv("HALO_TPU_OPEN_DEVICE", "0")
+    pi_host = pcdl.open_(np.random.default_rng(1), cd, C, d, z, None, pp5)
+    monkeypatch.setenv("HALO_TPU_OPEN_DEVICE", "1")
+    pi_dev = pcdl.open_(np.random.default_rng(1), cd, C, d, z, None, pp5)
+    assert pi_dev.serialize() == pi_host.serialize()
+    pcdl.check(C, d, z, v, pi_dev, pp5)
+    # hiding variant through the same fused graph
+    w = rand_fr(rng, 1)[0]
+    Ch = pcdl.commit(cd, d, w, pp5)
+    pi_h = pcdl.open_(np.random.default_rng(2), cd, Ch, d, z, w, pp5)
+    pcdl.check(Ch, d, z, v, pi_h, pp5)

@@ -1,7 +1,6 @@
 """Polynomial kernels: powers/eval vs oracle; tensor h expansion structure
 (mirrors pcdl.rs:352-379 `test_test` and :486-509 h-coefficients test)."""
 
-import numpy as np
 
 from halo_accumulation_tpu import fields as F
 from halo_accumulation_tpu.ops import poly as poly_mod

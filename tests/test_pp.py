@@ -8,12 +8,10 @@ we decode via v * (2^256)^-1 mod q."""
 
 import re
 
-import numpy as np
 import pytest
 
 from halo_accumulation_tpu import fields as F
 from halo_accumulation_tpu import pp as pp_mod
-from halo_accumulation_tpu.ops.field import FQ
 
 CONSTS = "/root/reference/code/src/consts.rs"
 

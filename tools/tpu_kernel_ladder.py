@@ -21,8 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from halo_accumulation_tpu import pp as pp_mod
-from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod, pallas_kernels as pk
-from halo_accumulation_tpu.ops.field import FR, L
 
 
 def step(name, fn):

@@ -32,7 +32,6 @@ def main():
 
     from halo_accumulation_tpu import fields as F
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
-    from halo_accumulation_tpu.ops.field import FR
     from halo_accumulation_tpu.runtime import cached_jit
 
     print(f"backend={jax.default_backend()}", flush=True)

@@ -25,7 +25,6 @@ def main():
     runtime.init()
     import jax
 
-    from halo_accumulation_tpu import acc as acc_mod, chain, fields as F, pcdl
     from halo_accumulation_tpu import pp as pp_mod
     from halo_accumulation_tpu.ops.field import FR
 

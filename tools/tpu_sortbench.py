@@ -28,8 +28,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from halo_accumulation_tpu.ops import curve as cv
-    from halo_accumulation_tpu.ops.field import FQ
 
     print(f"backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)

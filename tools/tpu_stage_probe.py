@@ -37,7 +37,6 @@ def main():
 
     from halo_accumulation_tpu import pp as pp_mod
     from halo_accumulation_tpu.ops import curve as cv, msm as msm_mod
-    from halo_accumulation_tpu.ops.field import FR, L
     from halo_accumulation_tpu.runtime import cached_jit
 
     pow2 = int(sys.argv[1]) if len(sys.argv) > 1 else 14
