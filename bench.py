@@ -236,7 +236,7 @@ def bench_beyond(side: dict):
     chain at d+1 = 2^16 and a commit/open/decide at 2^20."""
     import jax  # noqa: F401
 
-    from halo_accumulation_tpu import acc as acc_mod, chain, fields as Fm, pcdl, pp as pp_mod
+    from halo_accumulation_tpu import chain, pcdl, pp as pp_mod
     from halo_accumulation_tpu.ops.field import FR
 
     # accumulate + verify chain at 2^16

@@ -44,7 +44,7 @@ def random_instance(rng: np.random.Generator, d: int, pp: pp_mod.PublicParams) -
         zp = zp * z % F.R
     cd = FR.from_ints(coeffs)
     C = pcdl.commit(cd, d, w, pp)
-    pi = pcdl.open_(rng, cd, C, d, z, w, pp)
+    pi = pcdl.open_(rng, cd, C, d, z, w, pp, v=v)
     return acc_mod.Instance(C=C, d=d, z=z, v=v, pi=pi)
 
 

@@ -495,14 +495,21 @@ def _group_windows(pads: list[int], beffs: list[int]):
 
 
 def planes_from_points(points: cv.PointVec):
-    """PointVec -> (3L, N) u32 coordinate planes (sort operands)."""
+    """PointVec -> (3L, N) u32 coordinate planes (sort operands).
+    Projective/lazy form: NOT pair-packed (lazy limbs exceed 15 bits)."""
     return jnp.concatenate([points.x, points.y, points.z], axis=0)
 
 
 def planes_from_affine(xs, ys):
-    """Affine limb planes -> (2L, N) u32; Z == 1 is synthesized from the
+    """CANONICAL affine limb planes -> (L, N) u32 PAIR-PACKED payload:
+    plane k holds limbs 2k | 2k+1 << 15 of (x||y).  Canonical limbs are
+    15-bit, so two fit one u32 - and sort compile time scales brutally with
+    operand count (measured on the TPU toolchain at (25, 2^14): 9 operands
+    24 s, 19 operands 85 s, 37 operands 360 s), so the packed form is what
+    every fixed-base path sorts.  Z == 1 is synthesized from the
     slot-validity mask inside the masked reduction."""
-    return jnp.concatenate([xs, ys], axis=0)
+    flat = jnp.concatenate([xs, ys], axis=0)  # (2L, N)
+    return flat[0::2] | (flat[1::2] << jnp.uint32(15))
 
 
 def _sorted_group(planes, digits_g, pad: int, beff: int, nroute: int):
@@ -517,6 +524,11 @@ def _sorted_group(planes, digits_g, pad: int, beff: int, nroute: int):
         jnp.broadcast_to(planes[i][None], (Wg, N)) for i in range(P)
     )
     srt = jax.lax.sort(ops, dimension=1, is_stable=False, num_keys=1)
+    # Fence the sort off from the downstream gather: XLA's attempt to fuse
+    # the 37-operand sort into the block-gather's operand tree sent compile
+    # time from ~40 s to >25 MINUTES at N=2^14 (bisect: sort alone 5 s,
+    # gather alone 31 s, composed >580 s).
+    srt = jax.lax.optimization_barrier(srt)
     skey = srt[0]
     splanes = jnp.stack(srt[1:], axis=0)  # (P, Wg, N) in digit order
     bvals = jnp.arange(btot, dtype=jnp.uint32)
@@ -549,10 +561,23 @@ def _sorted_group(planes, digits_g, pad: int, beff: int, nroute: int):
     return cv.PointVec(*(x.reshape(L, Wg, nroute) for x in V)), ok
 
 
+def unpack_affine_planes(packed):
+    """Inverse of planes_from_affine: (L, ...) packed pairs -> (x, y) limb
+    arrays of shape (L, ...)."""
+    flat = jnp.stack(
+        [
+            (packed[k // 2] >> jnp.uint32(15 * (k % 2))) & jnp.uint32(0x7FFF)
+            for k in range(2 * L)
+        ]
+    )
+    return flat[:L], flat[L:]
+
+
 def _masked_reduce(M, meta) -> cv.PointVec:
     """Reduce the pad axis of (P, pad', cols) sorted point data with
     complete adds, per-column (off, len) masking dead slots to the
-    identity.  Pallas kernel on TPU; sequential fori elsewhere."""
+    identity.  P == L: pair-packed affine (planes_from_affine); P == 3L:
+    projective.  Pallas kernel on TPU; sequential fori elsewhere."""
     from halo_accumulation_tpu.ops import pallas_kernels as pk
 
     P, padp, cols = M.shape
@@ -564,7 +589,7 @@ def _masked_reduce(M, meta) -> cv.PointVec:
             meta = jnp.pad(meta, ((0, 0), (0, colsP - cols)))
         ox, oy, oz = pk.bucket_accum_masked(M, meta)
         return cv.PointVec(ox[:, :cols], oy[:, :cols], oz[:, :cols])
-    aff = P == 2 * L
+    aff = P == L
     offv = meta[0] & jnp.uint32(7)
     lnv = meta[0] >> jnp.uint32(3)
 
@@ -573,11 +598,15 @@ def _masked_reduce(M, meta) -> cv.PointVec:
         pv = p.astype(jnp.uint32)
         cond = (pv >= offv) & (pv < offv + lnv)
         one = jnp.ones((cols,), jnp.uint32)
-        x = jnp.where(cond[None], sl[0:L], jnp.uint32(0))
+        if aff:
+            xs, ys = unpack_affine_planes(sl)
+        else:
+            xs, ys = sl[0:L], sl[L : 2 * L]
+        x = jnp.where(cond[None], xs, jnp.uint32(0))
         y = jnp.concatenate(
             [
-                jnp.where(cond, sl[L], one)[None],
-                jnp.where(cond[None], sl[L + 1 : 2 * L], jnp.uint32(0)),
+                jnp.where(cond, ys[0], one)[None],
+                jnp.where(cond[None], ys[1:], jnp.uint32(0)),
             ]
         )
         if aff:
@@ -638,6 +667,73 @@ def _sortrows_msm(
 
 def _route_digits(dg, route, beff):
     return dg + route[None].astype(jnp.uint32) * jnp.uint32(beff)
+
+
+def _sortrows_one(planes, scalars, c: int, pads: tuple, beffs: tuple):
+    """jit-wrapper body for a single-output sortrows MSM (one dispatch)."""
+    return _sortrows_msm(planes, scalars, c, list(pads), list(beffs))
+
+
+def fold_basis(planes, t16):
+    """Collapse a pair-packed affine basis by 16: with w2 = W/16,
+
+        B'[j] = sum_{h=0}^{15} t16[:, h] * B[h*w2 + j],   j < w2
+
+    (the IPA open's generator fold for FOUR rounds at once: t16 are the
+    tensor coefficients of the segment's challenges, SHARED across j -
+    pcdl.rs:216-224 done lazily so rounds 4+ run at 1/16 width).
+
+    Shared-scalar Strauss: 4-bit windows over all 16 scalars together -
+    per window 4 doublings + a 16-way table-select tree, ~90*W point-ops
+    total.  Columns are chunked to bound the 16x16-multiples table memory.
+    Returns (planes' (L, w2) packed affine, any_inf) - any_inf True iff a
+    collapsed combination hit the identity (cryptographically negligible;
+    the caller falls back to the measured host path)."""
+    W_ = planes.shape[1]
+    w2 = W_ // 16
+    xs, ys = unpack_affine_planes(planes)  # (2L,) split of (L, W)
+    xs = xs.reshape(L, 16, w2)
+    ys = ys.reshape(L, 16, w2)
+    digits = _digits(t16, 4)  # (64, 16) msb-first windows
+    CH = min(w2, 4096)
+    nch = w2 // CH
+
+    from halo_accumulation_tpu.ops.field import FQ
+
+    def chunk(ci, out):
+        sx = jax.lax.dynamic_slice_in_dim(xs, ci * CH, CH, axis=2)
+        sy = jax.lax.dynamic_slice_in_dim(ys, ci * CH, CH, axis=2)
+        P = cv.PointVec(sx, sy, FQ.from_int(1, (16, CH)))
+        tab = [cv.identity((16, CH)), P]
+        for _ in range(14):
+            tab.append(cv.padd(tab[-1], P))
+        T = cv.PointVec(
+            jnp.stack([t.x for t in tab]),
+            jnp.stack([t.y for t in tab]),
+            jnp.stack([t.z for t in tab]),
+        )  # (16, L, 16, CH)
+
+        def win(k, acc):
+            acc = cv.pdbl(cv.pdbl(cv.pdbl(cv.pdbl(acc))))
+            dk = jax.lax.dynamic_index_in_dim(digits, k, 0, keepdims=False)  # (16,)
+            idx = dk[None, None, :, None].astype(jnp.int32)
+            sel = cv.PointVec(
+                jnp.take_along_axis(T.x, idx, axis=0)[0],
+                jnp.take_along_axis(T.y, idx, axis=0)[0],
+                jnp.take_along_axis(T.z, idx, axis=0)[0],
+            )  # (L, 16, CH)
+            return cv.padd(acc, cv.sum_points(sel, axis=0))
+
+        accp = jax.lax.fori_loop(0, 64, win, cv.identity((CH,)))
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, a, ci * CH, axis=1)
+            for o, a in zip(out, accp)
+        )
+
+    out0 = tuple(jnp.zeros((L, w2), jnp.uint32) for _ in range(3))
+    ox, oy, oz = jax.lax.fori_loop(0, nch, chunk, out0)
+    ax, ay, inf = cv.to_affine(cv.PointVec(ox, oy, oz))
+    return planes_from_affine(ax, ay), jnp.any(inf)
 
 
 def msm_many_flagged(planes, scalars_many, c: int, pads: list[int], beffs: list[int]):
@@ -770,7 +866,13 @@ def msm_flagged(
             planes = cached_jit(planes_from_points, "pfp", Np)(points)
         else:
             assert planes.shape[1] % 8 == 0, "sortrows planes need N % 8 == 0"
-        outs, ok = _sortrows_msm(planes, scalars, c, pads, beffs)
+        # ONE fused dispatch (digits + every group + Horner + flag): called
+        # outside jit this would otherwise cost ~6 dispatch RPCs through
+        # the tunnel
+        outs, ok = cached_jit(
+            _sortrows_one, "s1", c, tuple(pads), tuple(beffs),
+            static_argnums=(2, 3, 4),
+        )(planes, scalars, c, tuple(pads), tuple(beffs))
         return outs[0], ok
     if _impl() == "rowperm" or _impl() == "sortrows":
         return _rowperm_msm(points, scalars, c, pads, beffs, rows=rows)

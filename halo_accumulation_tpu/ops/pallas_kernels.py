@@ -268,13 +268,25 @@ def _bucket_kernel_masked(aff: bool, meta_ref, in_ref, ox, oy, oz):
     cond = (pv >= off) & (pv < off + ln)
     zero = meta - meta
     one = zero + jnp.uint32(1)
-    xs = [jnp.where(cond, in_ref[i, 0], zero) for i in range(L)]
-    ys = [jnp.where(cond, in_ref[L, 0], one)] + [
-        jnp.where(cond, in_ref[L + i, 0], zero) for i in range(1, L)
-    ]
     if aff:
+        # pair-packed canonical affine rows (msm.planes_from_affine):
+        # lane k holds limbs 2k | 2k+1 << 15 of x||y; Z synthesized
+        mask15 = jnp.uint32(0x7FFF)
+        raw = [in_ref[i, 0] for i in range(L)]
+        lim = []
+        for k in range(2 * L):
+            v = raw[k // 2]
+            lim.append((v >> jnp.uint32(15)) & mask15 if k % 2 else v & mask15)
+        xs = [jnp.where(cond, lim[i], zero) for i in range(L)]
+        ys = [jnp.where(cond, lim[L], one)] + [
+            jnp.where(cond, lim[L + i], zero) for i in range(1, L)
+        ]
         zs = [jnp.where(cond, one, zero)] + [zero] * (L - 1)
     else:
+        xs = [jnp.where(cond, in_ref[i, 0], zero) for i in range(L)]
+        ys = [jnp.where(cond, in_ref[L, 0], one)] + [
+            jnp.where(cond, in_ref[L + i, 0], zero) for i in range(1, L)
+        ]
         zs = [jnp.where(cond, in_ref[2 * L + i, 0], zero) for i in range(L)]
 
     @pl.when(p == 0)
@@ -300,7 +312,7 @@ def _bucket_masked_call(Mt, meta, lanes: int, interpret: bool, br: int = 8):
     meta_spec = pl.BlockSpec((1, br, 128), lambda j, p: (0, j, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((L, br, 128), lambda j, p: (0, j, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, R, 128), jnp.uint32)
-    kern = functools.partial(_bucket_kernel_masked, lanes == 2 * L)
+    kern = functools.partial(_bucket_kernel_masked, lanes == L)
     return pl.pallas_call(
         kern,
         out_shape=(shape, shape, shape),
@@ -317,8 +329,9 @@ def _bucket_masked_call(Mt, meta, lanes: int, interpret: bool, br: int = 8):
 def bucket_accum_masked(Mt, meta):
     """Reduce the pad axis of sort-ordered block-gathered point data.
 
-    Mt: (lanes, pad, colsP) u32, lanes in {36, 54}, colsP a multiple of
-    br*128; meta: (1, colsP) u32 with off | len << 3 per column.  Returns
+    Mt: (lanes, pad, colsP) u32, lanes in {L=18 (pair-packed affine), 3L=54
+    (projective)}, colsP a multiple of br*128; meta: (1, colsP) u32 with
+    off | len << 3 per column.  Returns
     (x, y, z) each (L, colsP): per-column bucket sums with complete adds,
     dead slots contributing the identity."""
     lanes, pad, colsP = Mt.shape

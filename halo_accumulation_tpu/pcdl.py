@@ -57,6 +57,29 @@ def point_to_host(P: cv.PointVec) -> Point:
     return (xi * zinv % F.Q, yi * zinv % F.Q)
 
 
+def _point_and_flag_to_host(P: cv.PointVec, ok):
+    """Fetch one projective point + a bool flag in a SINGLE device pull."""
+    import jax
+    import jax.numpy as jnp
+
+    blob = np.asarray(
+        jax.device_get(
+            cached_jit(
+                lambda p, o: jnp.concatenate([p.x, p.y, p.z, o[None].astype(jnp.uint32)])
+            )(P, ok)
+        )
+    ).astype(object)
+    x, y, z = blob[0:L], blob[L : 2 * L], blob[2 * L : 3 * L]
+    okh = bool(blob[3 * L])
+    xi = sum(int(x[i]) << (W * i) for i in range(L))
+    yi = sum(int(y[i]) << (W * i) for i in range(L))
+    zi = sum(int(z[i]) << (W * i) for i in range(L)) % F.Q
+    if zi == 0:
+        return None, okh
+    zinv = pow(zi, -1, F.Q)
+    return (xi * zinv % F.Q, yi * zinv % F.Q), okh
+
+
 def points_to_host(Ps: list[cv.PointVec]) -> list[Point]:
     """Batch-convert several single device points with ONE fetch."""
     import jax
@@ -184,7 +207,14 @@ def commit(coeffs, d: int, w: int | None, pp: pp_mod.PublicParams) -> Point:
     coeffs = _pad_pow2(coeffs, n)
     k = coeffs.shape[1]
     assert k <= n
-    C = point_to_host(msm_mod.msm(pp.gs_points(k), coeffs, **_gs_tables(pp, k)))
+    # pinned-pad MSM with the point AND the validity flag pulled in ONE
+    # fetch (msm() costs two round trips: flag sync, then the point - at
+    # ~25 ms each through the tunnel that doubles small-degree commit
+    # latency); the astronomically-rare overflow falls back to measured.
+    pt, ok = msm_mod.msm_flagged(pp.gs_points(k), coeffs, **_gs_tables(pp, k))
+    C, okh = _point_and_flag_to_host(pt, ok)
+    if not okh:
+        C = point_to_host(msm_mod._msm_measured(pp.gs_points(k), coeffs))
     if w is not None:
         C = H.p_add(C, H.p_mul(w, pp.s))
     return C
@@ -226,8 +256,11 @@ def open_(
     _safe: bool = False,
     mesh=None,
     axis: str | None = None,
+    v: int | None = None,
 ) -> EvalProof:
-    """IPA opening proof (pcdl.rs:120-242).
+    """IPA opening proof (pcdl.rs:120-242).  v: optional p(z) when the
+    caller already knows it (saves one device eval + ~25 ms fetch; the
+    ASDL prover and the bench chain builder always do).
 
     coeffs: device (L, k) Fr coefficients of p (k-1 = deg p <= d), or host
     int list.  Hiding iff w is not None.
@@ -254,8 +287,9 @@ def open_(
     k = coeffs.shape[1]
 
     zl = FR.from_ints([z])[:, 0]
-    # v := p(z)
-    v = int(FR.to_ints(cached_jit(poly_mod.eval_poly, k)(coeffs, zl)))
+    if v is None:
+        # v := p(z)
+        v = int(FR.to_ints(cached_jit(poly_mod.eval_poly, k)(coeffs, zl)))
 
     if w is not None:
         # p_bar = (X - z) * q with q uniform of degree deg(p) - 1
@@ -505,8 +539,8 @@ def _open_device(rng, orig_coeffs, cs, zs, C, d, z, w, pp, C_bar, w_prime, xi0_i
     # products, one per route), plus zero pads to keep N % 8 == 0
     hx = FQ.from_ints([H_prime[0], H_prime[0]])
     hy = FQ.from_ints([H_prime[1], H_prime[1]])
-    ext = jnp.concatenate([hx, hy], axis=0)  # (2L, 2)
-    zeros6 = jnp.zeros((2 * L, 6), jnp.uint32)
+    ext = msm_mod.planes_from_affine(hx, hy)  # (L, 2) packed
+    zeros6 = jnp.zeros((L, 6), jnp.uint32)
     planes_ext = cached_jit(
         lambda p, e, z6: jnp.concatenate([p, e, z6], axis=1), "pex", n
     )(planes, ext, zeros6)

@@ -118,13 +118,15 @@ class PublicParams:
         return r
 
     def gs_planes(self, n: int):
-        """First n generators as cached (2L, n) AFFINE coordinate planes
-        for the sort-payload MSM (ops/msm planes_from_affine): the
+        """First n generators as cached (L, n) PAIR-PACKED affine planes
+        for the sort-payload MSM (ops/msm.planes_from_affine): the
         fixed-base commit/decider MSMs sort these as lax.sort payload
         operands (Z == 1 is synthesized by the masked reduction)."""
         r = self._gs_planes.get(n)
         if r is None:
-            r = jnp.concatenate([self.gs_x[:, :n], self.gs_y[:, :n]], axis=0)
+            from halo_accumulation_tpu.ops import msm as msm_mod
+
+            r = msm_mod.planes_from_affine(self.gs_x[:, :n], self.gs_y[:, :n])
             self._gs_planes[n] = r
         return r
 

@@ -211,3 +211,27 @@ def test_msm_naive_matches(rng):
     R1 = cached_jit(msm.msm_naive)(P, s)
     R2 = msm.msm(P, s)
     assert bool(np.asarray(cached_jit(cv.peq)(R1, R2)))
+
+
+def test_fold_basis_oracle(rng):
+    """msm.fold_basis (the prover's 4-round basis collapse) vs the host
+    oracle: B'[j] == sum_h t16[h] * B[h*(W/16)+j]."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from halo_accumulation_tpu import pp as pp_mod
+    from halo_accumulation_tpu.ops.field import FQ
+
+    W = 256
+    pp = pp_mod.get_pp(W, use_disk_cache=True)
+    planes = pp.gs_planes(W)
+    gs = pp.gs_host(W)
+    t16_i = [int.from_bytes(rng.bytes(40), "little") % F.R for _ in range(16)]
+    out, inf = jax.jit(msm.fold_basis)(planes, FR.from_ints(t16_i))
+    assert not bool(np.asarray(inf))
+    ox, oy = msm.unpack_affine_planes(out)
+    xs, ys = FQ.to_ints(ox), FQ.to_ints(oy)
+    w2 = W // 16
+    for j in range(0, w2, 3):
+        want = F.p_msm(t16_i, [gs[h * w2 + j] for h in range(16)])
+        assert (int(xs[j]), int(ys[j])) == want, f"lane {j}"
