@@ -371,7 +371,12 @@ def verify_chain(
     for qs in qss:
         step_slices.append((len(flat), len(flat) + len(qs)))
         flat.extend((q.C, q.d, q.z, q.v, q.pi) for q in qs)
-    fused = mesh is None and msm_mod._impl() == "sortrows"
+    # single-dispatch fusion pays at SMALL batches (the ~85 ms small-chain
+    # dispatch floor); at k >= 100 the row-MSM compute dominates and the
+    # multi-dispatch path amortizes - and every (n, batch-shape) pair is a
+    # separate multi-minute XLA compile, so keeping large k on the shared
+    # per-n graphs bounds warmup
+    fused = mesh is None and msm_mod._impl() == "sortrows" and len(flat) <= 32 and len(accs) <= 32
 
     g0, g1 = pp.gs_host(2)
     B = len(accs)

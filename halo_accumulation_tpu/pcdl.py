@@ -544,21 +544,52 @@ def _open_device(rng, orig_coeffs, cs, zs, C, d, z, w, pp, C_bar, w_prime, xi0_i
     planes_ext = cached_jit(
         lambda p, e, z6: jnp.concatenate([p, e, z6], axis=1), "pex", n
     )(planes, ext, zeros6)
-    c_dual = msm_mod.window_size(max(n // 2, 1))
-    pads_dual = tuple(msm_mod.pinned_pads(max(n // 2, 1), c_dual))
-    beffs_dual = tuple(msm_mod._beffs(c_dual))
-    cU = msm_mod.window_size(n)
-    padsU = tuple(msm_mod.pinned_pads(n, cU))
-    beffsU = tuple(msm_mod._beffs(cU))
-    xi0 = FR.from_ints([xi0_int])[:, 0]
+    xi_dev = FR.from_ints([xi0_int])[:, 0]
+    segs = []  # per-segment (Lx, Ly, Li, Rx, Ry, Ri)
+    oks = []
+    # NOTE: Wc, not W - the module-level W is the LIMB width used by
+    # to_int below; shadowing it with the segment width corrupted every
+    # host-parsed proof coordinate (the round-5 collapse bug)
+    Wc = n
+    rounds_left = lg_n
+    # collapse segments: 4 rounds then fold the basis by 16, so later
+    # rounds run at 1/16 width (see _open_fold_device); all segments chain
+    # on device - ONE result fetch at the very end
+    while Wc >= _COLLAPSE_MIN and rounds_left > 4:
+        cw = msm_mod.window_size(max(Wc // 2, 1))
+        pw = tuple(msm_mod.pinned_pads(max(Wc // 2, 1), cw))
+        bw = tuple(msm_mod._beffs(cw))
+        out = cached_jit(
+            _open_fold_device, "ofd4", Wc, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
+        )(planes_ext, cs, zs, xi_dev, 4, cw, pw, bw, 0, (), (), False)
+        segs.append(out[:6])
+        planes_ext, cs, zs, xi_dev, okv = out[6:]
+        oks.append(okv)
+        Wc //= 16
+        rounds_left -= 4
+    cw = msm_mod.window_size(max(Wc // 2, 1))
+    pw = tuple(msm_mod.pinned_pads(max(Wc // 2, 1), cw))
+    bw = tuple(msm_mod._beffs(cw))
+    cU2 = msm_mod.window_size(Wc)
+    padsU2 = tuple(msm_mod.pinned_pads(Wc, cU2))
+    beffsU2 = tuple(msm_mod._beffs(cU2))
     out = cached_jit(
-        _open_fold_device, "ofd", n, c_dual, cU,
-        static_argnums=(4, 5, 6, 7, 8, 9, 10),
-    )(planes_ext, cs, zs, xi0, lg_n, c_dual, pads_dual, beffs_dual, cU, padsU, beffsU)
-    Lx, Ly, Li, Rx, Ry, Ri, Uax, Uay, Uinf, c0, ok = jax.device_get(out)  # ONE fetch
-    if not bool(ok):
-        # a pinned pad overflowed somewhere: rebuild the proof through the
-        # measured MSM path (fresh prover randomness; same inputs)
+        _open_fold_device, "ofdF", Wc, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
+    )(planes_ext, cs, zs, xi_dev, rounds_left, cw, pw, bw, cU2, padsU2, beffsU2, True)
+    segs.append(out[:6])
+    host = jax.device_get((segs, out[6:], oks))  # ONE fetch for everything
+    segs_h, (Uax, Uay, Uinf, c0, okF), oks_h = host
+    Lx = np.concatenate([s[0] for s in segs_h])
+    Ly = np.concatenate([s[1] for s in segs_h])
+    Li = np.concatenate([s[2] for s in segs_h])
+    Rx = np.concatenate([s[3] for s in segs_h])
+    Ry = np.concatenate([s[4] for s in segs_h])
+    Ri = np.concatenate([s[5] for s in segs_h])
+    ok = bool(okF) and all(bool(o) for o in oks_h)
+    if not ok:
+        # a pinned pad overflowed somewhere (or a collapse combination hit
+        # the identity): rebuild through the measured host path (fresh
+        # prover randomness; same inputs)
         return open_(rng, orig_coeffs, C, d, z, w, pp, _safe=True)
 
     def to_int(limbs) -> int:
@@ -609,42 +640,52 @@ def _rho_round_device(xi, Lax, Lay, Linf, Rax, Ray, Rinf):
     return kk.mod_r_256(kk.words_to_limbs(dig))
 
 
+_COLLAPSE_MIN = 2048  # collapse segments while width >= this (W/16 >= 128)
+
+
 def _open_fold_device(
     planes_ext,
     cs,
     zs,
     xi0,
-    lg_n: int,
+    k: int,
     c_dual: int,
     pads_dual: tuple,
     beffs_dual: tuple,
     cU: int,
     padsU: tuple,
     beffsU: tuple,
+    finalize: bool,
 ):
-    """The ENTIRE lg(n) IPA fold as one traced graph: per round one
-    dual-output fixed-base MSM (H' rides as two extra basis columns with
-    the <c,z> dot products as scalars, so L/R come out complete), on-device
-    batch normalization, on-device Fiat-Shamir (ops/keccak.py), Fermat
-    inversion of the challenge, and the field-only fold.  No host
-    round-trips: the lg(n) * ~25 ms tunnel-fetch floor of the host-hashed
-    path disappears.  Returns stacked affine L/R rounds, U, c(0), and the
-    all-pads-valid flag."""
+    """k IPA fold rounds as one traced graph: per round one dual-output
+    fixed-base MSM (H' rides as two extra basis columns with the <c,z> dot
+    products as scalars, so L/R come out complete), on-device batch
+    normalization, on-device Fiat-Shamir (ops/keccak.py), Fermat inversion
+    of the challenge, and the field-only fold.  No host round-trips: the
+    lg(n) * ~25 ms tunnel-fetch floor of the host-hashed path disappears.
+
+    finalize=False (a COLLAPSE segment, k=4): afterwards the basis is
+    folded by 16 with the segment's tensor coefficients (msm.fold_basis),
+    so the next segment runs at 1/16 width - the expansion prover's answer
+    to the reference's per-round generator fold.  Returns
+    (L/R stacks, planes_ext', cs', zs', xi', ok).
+
+    finalize=True: runs all k remaining rounds at this width and computes
+    U = <t_final, basis>.  Returns (L/R stacks, U affine, c0, ok)."""
     import jax
     import jax.numpy as jnp
 
     from halo_accumulation_tpu.ops import msm as msm_mod
-    from halo_accumulation_tpu.ops.field import FQ as _FQ
 
-    n = cs.shape[1]
-    t0 = FR.from_int(1, (n,))
-    Z = jnp.zeros((lg_n, L), jnp.uint32)
-    Zb = jnp.zeros((lg_n,), jnp.bool_)
+    Wf = cs.shape[1]  # segment width (NOT the limb width W)
+    t0 = FR.from_int(1, (Wf,))
+    Z = jnp.zeros((k, L), jnp.uint32)
+    Zb = jnp.zeros((k,), jnp.bool_)
     ok0 = jnp.bool_(True)
 
     def body(i, st):
         cs, zs, t, xi, Lx, Ly, Li, Rx, Ry, Ri, ok = st
-        m = jnp.int32(n) >> (i + 1)
+        m = jnp.int32(Wf) >> (i + 1)
         s_comb, route, dot_l, dot_r = _open_round_pre(cs, zs, t, m)
         s_ext = jnp.concatenate([s_comb, dot_l[:, None], dot_r[:, None], FR.zeros((6,))], axis=1)
         route_ext = jnp.concatenate(
@@ -674,13 +715,23 @@ def _open_fold_device(
         return (cs, zs, t, xi_next, Lx, Ly, Li, Rx, Ry, Ri, ok & okv)
 
     st = (cs, zs, t0, xi0, Z, Z, Zb, Z, Z, Zb, ok0)
-    cs, zs, t, xi, Lx, Ly, Li, Rx, Ry, Ri, ok = jax.lax.fori_loop(0, lg_n, body, st)
-    t_ext = jnp.concatenate([t, FR.zeros((8,))], axis=1)
-    (Up,), okU = msm_mod._sortrows_msm(planes_ext, t_ext, cU, list(padsU), list(beffsU))
-    Usingle = cv.PointVec(Up.x[:, None], Up.y[:, None], Up.z[:, None])
-    Uax, Uay, Uinf = cv.to_affine(Usingle)
-    c0 = FR.canon(cs[:, 0])
-    return (Lx, Ly, Li, Rx, Ry, Ri, Uax[:, 0], Uay[:, 0], Uinf[0], c0, ok & okU)
+    cs, zs, t, xi, Lx, Ly, Li, Rx, Ry, Ri, ok = jax.lax.fori_loop(0, k, body, st)
+    outs = (Lx, Ly, Li, Rx, Ry, Ri)
+    if finalize:
+        t_ext = jnp.concatenate([t, FR.zeros((8,))], axis=1)
+        (Up,), okU = msm_mod._sortrows_msm(planes_ext, t_ext, cU, list(padsU), list(beffsU))
+        Usingle = cv.PointVec(Up.x[:, None], Up.y[:, None], Up.z[:, None])
+        Uax, Uay, Uinf = cv.to_affine(Usingle)
+        c0 = FR.canon(cs[:, 0])
+        return outs + (Uax[:, 0], Uay[:, 0], Uinf[0], c0, ok & okU)
+    # collapse: fold the basis by 16 with the segment's tensor coefficients
+    w2 = Wf // 16
+    t16 = t.reshape(L, 16, w2)[:, :, 0]  # tc_h = t[h * w2] (shared per block)
+    basis2, any_inf = msm_mod.fold_basis(planes_ext[:, :Wf], t16)
+    planes2 = jnp.concatenate([basis2, planes_ext[:, Wf:]], axis=1)
+    cs2 = cs[:, :w2]
+    zs2 = zs[:, :w2]
+    return outs + (planes2, cs2, zs2, xi, ok & ~any_inf)
 
 
 def _mul_by_linear(q, zl):

@@ -130,3 +130,27 @@ def test_open_device_matches_host(rng, monkeypatch):
     Ch = pcdl.commit(cd, d, w, pp5)
     pi_h = pcdl.open_(np.random.default_rng(2), cd, Ch, d, z, w, pp5)
     pcdl.check(Ch, d, z, v, pi_h, pp5)
+
+
+def test_open_device_collapse_matches_host(rng, monkeypatch):
+    """The basis-collapse segments (fold-by-16 every 4 rounds,
+    msm.fold_basis) must preserve bit-identical proofs: force the collapse
+    at n=512 by lowering the width threshold (production threshold is
+    2048; the math is width-independent)."""
+    n = 512
+    pp5 = pp_mod.get_pp(n)
+    d = n - 1
+    p = rand_fr(rng, 450)
+    z = rand_fr(rng, 1)[0]
+    v = eval_host(p, z)
+    from halo_accumulation_tpu.ops.field import FR
+
+    cd = FR.from_ints(p)
+    C = pcdl.commit(cd, d, None, pp5)
+    monkeypatch.setenv("HALO_TPU_OPEN_DEVICE", "0")
+    pi_host = pcdl.open_(np.random.default_rng(1), cd, C, d, z, None, pp5, v=v)
+    monkeypatch.setenv("HALO_TPU_OPEN_DEVICE", "1")
+    monkeypatch.setattr(pcdl, "_COLLAPSE_MIN", 512)
+    pi_dev = pcdl.open_(np.random.default_rng(1), cd, C, d, z, None, pp5, v=v)
+    assert pi_dev.serialize() == pi_host.serialize()
+    pcdl.check(C, d, z, v, pi_dev, pp5)

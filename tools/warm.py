@@ -82,6 +82,9 @@ def main():
 
                 acc_mod.decider(accs[-1], pp)
                 log(f"decider n={n} warm: {time.time()-t0:.1f}s")
+                t0 = time.time()
+                chain.verify_chain_slow(accs[: min(len(accs), 3)], pp)
+                log(f"verify_chain_slow n={n} warm: {time.time()-t0:.1f}s")
 
 
 if __name__ == "__main__":
