@@ -68,6 +68,14 @@ NBITS = 255
 # 1-1.5 GB, comfortable on a 16 GB chip and irrelevant on CPU test meshes.
 _SCATTER_BUDGET_COLS = int(os.environ.get("HALO_TPU_MSM_BUDGET_COLS", str(1 << 21)))
 
+# the SORTROWS pipeline gets a larger budget: its per-group cost that
+# matters is the SORT COMPILE (one ~90 s Mosaic/XLA sort per window
+# group on this toolchain), so groups must stay wide - at N=2^20 a 2^21
+# budget forced Wg=1, i.e. 22 separate sorts and a >30 min MSM compile.
+# 2^24 columns peaks ~2.5 GB of transient gather matrix on a 16 GB chip
+# and compiles ~3 sorts instead.
+_SORT_BUDGET_COLS = int(os.environ.get("HALO_TPU_MSM_SORT_BUDGET_COLS", str(1 << 24)))
+
 
 def window_size(n: int) -> int:
     """Bucket-width heuristic.  Balances stage-1 scatter cost
@@ -769,7 +777,7 @@ def _expand_groups_sorted(pads: list[int], beffs: list[int], nroute: int):
     inside the memory budget (measured in point columns)."""
     out = []
     for w0, w1, beff, pad in _group_windows(pads, beffs):
-        wc = max(1, _SCATTER_BUDGET_COLS // (beff * nroute * pad))
+        wc = max(1, _SORT_BUDGET_COLS // (beff * nroute * pad))
         for ws in range(w0, w1, wc):
             out.append((ws, min(ws + wc, w1), beff, pad))
     return out
