@@ -5,46 +5,42 @@ Replaces arkworks' VariableBaseMSM::msm_unchecked
 338, acc.rs:178) with a TPU-native formulation.  GPUs/CPUs bucket points
 with scatter loops and per-thread serial accumulation; TPUs have neither
 atomics nor per-lane control flow, so the bucket phase is restructured as
+data movement XLA is actually good at.  The hot path is the SORT-PAYLOAD
+pipeline ("sortrows", default since round 5):
 
-  sort-by-digit -> rank-in-bucket -> int32 inverse permutation -> one row
-  gather -> IN-KERNEL pad-axis reduction (pallas_kernels.bucket_accum) ->
-  suffix-doubling weighted sum (fori_loop at one fixed shape),
+  pair-packed coordinate planes ride the digit sort as lax.sort payload ->
+  bucket boundaries by searchsorted -> 8-row-aligned BLOCK gathers expand
+  buckets (8x fewer indexes; gathers are index-rate-bound at ~60 ns/index
+  while sorts move payload nearly free - tools/tpu_gather_probe.py,
+  tpu_sortmove_probe.py) -> IN-KERNEL pad-axis reduction with per-column
+  (off, len) masking of ragged bucket edges (pallas_kernels.
+  bucket_accum_masked) -> suffix-doubling weighted sum -> Horner.
 
-all branchless vectorized complete-adds, with O(1) HLO size in pad and
-bucket count (round 4: the remote XLA compile service cannot finish the
-unrolled multi-level trees earlier rounds emitted).  Key properties:
+Key properties:
 
-  * Zero digits are routed to bucket 0, which carries weight 0 in the
-    weighted sum: a "dump" bucket.  Rank clamping makes lanes with zero
-    digits collide harmlessly there, so MSM cost scales with the number of
+  * Zero digits are routed to bucket 0, which carries weight 0 and is
+    never gathered: a "dump" bucket.  MSM cost scales with the number of
     *nonzero* digits - commitments to low-degree polynomials padded with
     zeros (pcdl.rs:99-110 pads to n = d+1) cost almost nothing.
   * PAD (max points per bucket) is PINNED to a deterministic per-size-class
     value with a deferred device validity flag (no measurement sync; the
-    astronomically-rare overflow falls back to a measured re-run); pads are
-    rounded to {2^k, 3*2^(k-1)} classes to bound the jit cache.  Windows
-    are grouped into runs sharing (bucket count, pad): the top window -
-    whose digit range is cut down by the field modulus (canonical
-    Fr < r ~ 2^254) and by 255 mod c - gets its own smaller bucket space
-    and larger pad instead of inflating every window's scatter matrix (the
-    round-1 failure mode at N=2^20).
-  * The hot path is the ROW-PERMUTATION pipeline (default since round 3;
-    see the banner comment above rows_from_points): an int32-only inverse
-    permutation is scattered (4 bytes per point, not 216), the point data
-    moves as one 256-byte-row gather, and every compute array keeps a
-    128-multiple lane axis so the pad tree / suffix scan run on the fused
-    Pallas point kernels at full rate.  Round-2 profiling showed the
-    previous formulation (scatter all 54 limb planes, misaligned (B, pad)
-    layouts) spent >90% of its time in XLA data movement
-    (tools/tpu_stage_probe.py: 290 ms scatter + 133 ms tree vs ~10 ms of
-    point math at N=2^14).
-  * HALO_TPU_MSM_IMPL=staged selects the older staged pipeline
-    (_bucket_sums -> _weight_and_combine) with measured pads: the
-    correctness backstop (bench.py cross-checks
-    rowperm vs staged on device at startup), the overflow fallback, and
-    the building block of the sharded MSM.  Its point-chunked fallback
-    bounds memory under any digit skew (skew only increases the chunk
-    count, never the scatter matrix).
+    astronomically-rare overflow falls back to a measured re-run).  Windows
+    are grouped into runs sharing (bucket count, pad); the top window -
+    whose digit range is cut by the field modulus - gets its own group.
+    Sort operand count and window-group width are the compile-time levers
+    (see planes_from_affine and _SORT_BUDGET_COLS).
+  * DUAL-OUTPUT mode (nroute=2): two disjoint-support scalar vectors (the
+    IPA open round's L and R) share one sort per window by doubling the
+    bucket space with a route bit.  MANY mode (msm_many_flagged): K MSMs
+    over one basis stack as K*W window rows (fused deciders).
+  * fold_basis: shared-scalar Strauss collapse of a packed basis by 16 -
+    the prover's 4-rounds-at-once generator fold.
+  * HALO_TPU_MSM_IMPL=rowperm selects the round-3/4 inverse-permutation
+    row-gather pipeline; =staged the measured-pad scatter pipeline
+    (_bucket_sums -> _weight_and_combine) - the correctness backstops
+    (bench.py cross-checks pipelines on device every run) and the building
+    block of the sharded MSM.  Staged's point-chunked fallback bounds
+    memory under any digit skew.
 """
 
 from __future__ import annotations
