@@ -658,7 +658,7 @@ def main():
     msm_pow = int(os.environ.get("HALO_BENCH_MSM_POW", "20"))
     if msm_pow and msm_pow != 14:
         try:
-            with guard(f"msm_2^{msm_pow}", 400):
+            with guard(f"msm_2^{msm_pow}", 400) as gd:
                 pts_per_s, dt = bench_msm(msm_pow, reps, side)
                 side[f"msm_2^{msm_pow}_points_per_s"] = round(pts_per_s, 1)
                 side[f"msm_2^{msm_pow}_ms"] = round(dt * 1e3, 1)
@@ -666,43 +666,53 @@ def main():
             import traceback
 
             traceback.print_exc(file=sys.stderr)
+        if gd.timed_out:
+            wait_service(180)
 
     # 3a. independent native (C++ Pippenger) cross-check of the flagship MSM
     if os.environ.get("HALO_BENCH_NATIVE_XCHK", "1") != "0":
         try:
-            with guard("native_crosscheck", 300):
+            with guard("native_crosscheck", 300) as gd:
                 crosscheck_msm_native(16, side)
                 if remaining() > 900:
                     crosscheck_msm_native(20, side)
         except Exception as e:  # noqa: BLE001
             log(f"native cross-check failed: {type(e).__name__}: {e}")
+        if gd.timed_out:
+            wait_service(180)
 
     # 3b. Prover/verifier/decider unit benches (benches/acc.rs:31-60) at
     # the reference's N=1024 plus the headline degree.
     if os.environ.get("HALO_BENCH_UNITS", "1") != "0":
         for un in (1024, 16384):
             try:
-                with guard(f"acc_units_{un}", 240):
+                with guard(f"acc_units_{un}", 240) as gd:
                     bench_acc_units(side, n=un, reps=max(1, reps - 1))
             except Exception as e:  # noqa: BLE001
                 log(f"acc units n={un} failed: {type(e).__name__}: {e}")
+            if gd.timed_out:
+                wait_service(180)
 
     # 4. K=100 amortization cells (where batching should shine vs Rust).
     if os.environ.get("HALO_BENCH_K100", "1") != "0":
         try:
-            with guard("acc_cmp_f_16384_100", 300):
+            with guard("acc_cmp_f_16384_100", 300) as gd:
                 bench_chain(16384, 100, max(1, reps - 1), side)
         except Exception as e:  # noqa: BLE001
             log(f"K=100 bench failed: {type(e).__name__}: {e}")
+        if gd.timed_out:
+            wait_service(180)
 
     # 5. h micro-benches (cheap).  The rowperm-vs-staged cross-check moved
     # to the LAST phase: it cold-compiles the whole staged pipeline, and a
     # guard timeout there can wedge the compile service for anything after.
     try:
-        with guard("h_benches", 120):
+        with guard("h_benches", 120) as gd:
             bench_h(side)
     except Exception as e:  # noqa: BLE001
         log(f"h bench failed: {type(e).__name__}: {e}")
+    if gd.timed_out:
+        wait_service(180)
 
     # 6. Small-n grid rows.
     small_ns = [512, 1024, 2048, 4096, 8192]
@@ -714,13 +724,15 @@ def main():
                 log(f"skipping chain n={sn}: out of time budget")
                 break
             try:
-                with guard(f"chain_{sn}_10", 240):
+                with guard(f"chain_{sn}_10", 240) as gd:
                     bench_chain(sn, 10, reps, side)
             except Exception as e:  # noqa: BLE001 - bench must always emit JSON
                 import traceback
 
                 traceback.print_exc(file=sys.stderr)
                 log(f"chain n={sn} bench failed: {type(e).__name__}: {e}")
+            if gd.timed_out:
+                wait_service(180)
 
     # 7. K=100 / K=1000 amortization cells from committed chain caches
     # (chain construction is setup, exactly as criterion treats it;
@@ -741,20 +753,24 @@ def main():
                 log(f"grid cell {sn}/{sk}: out of budget")
                 break
             try:
-                with guard(f"chain_{sn}_{sk}", 300):
+                with guard(f"chain_{sn}_{sk}", 300) as gd:
                     bench_chain(sn, sk, 1, side)
             except Exception as e:  # noqa: BLE001
                 log(f"grid cell {sn}/{sk} failed: {type(e).__name__}: {e}")
+            if gd.timed_out:
+                wait_service(180)
 
     # 8. Past the reference's ceiling: accumulate at d+1 = 2^16 and a
     # decider at 2^20 (the capability the runtime URS exists for;
     # report.md:2081-2086 calls the compile-time 2^14 cap THE limitation).
     if os.environ.get("HALO_BENCH_BEYOND", "1") != "0" and remaining() > 240:
         try:
-            with guard("beyond_2^14", min(420, remaining() - 60)):
+            with guard("beyond_2^14", min(420, remaining() - 60)) as gd:
                 bench_beyond(side)
         except Exception as e:  # noqa: BLE001
             log(f"beyond-2^14 bench failed: {type(e).__name__}: {e}")
+        if gd.timed_out:
+            wait_service(180)
 
     try:
         with guard("crosscheck", 240):
