@@ -26,9 +26,10 @@ chain caches, plus the 16384 headline), HALO_BENCH_N / HALO_BENCH_K
 override the headline chain, HALO_BENCH_REPS timing repetitions (default 3),
 HALO_BENCH_DEADLINE seconds (default 1500 - the driver SIGTERMs ~1800 s in).
 
-Phase 1 doubles as the MSM IMPL GATE: if the default rowperm pipeline cannot
-produce a number inside its guard, the process flips to the staged backstop
-(HALO_TPU_MSM_IMPL=staged) before the chain phases compile the same kernels.
+Phase 1 doubles as the MSM IMPL GATE: if the default sort-payload pipeline
+cannot produce a number inside its guard, the process falls down the impl
+ladder (sortrows -> rowperm -> staged via HALO_TPU_MSM_IMPL) before the
+chain phases compile the same kernels.
 """
 
 from __future__ import annotations
@@ -602,12 +603,16 @@ def main():
 
     # 1. MSM 2^14: the always-available fallback metric, and the IMPL GATE
     # (VERDICT r3 ask #1): if the default impl cannot produce a number
-    # inside its guard, flip HALO_TPU_MSM_IMPL=staged for the REST OF THE
+    # inside its guard, fall down the impl ladder for the REST OF THE
     # PROCESS (decider/verify paths compile the same MSM kernels) - a
-    # slower measured number beats a bench_failed zero.
-    impls = [os.environ.get("HALO_TPU_MSM_IMPL", "rowperm")]
-    if impls[0] != "staged":
-        impls.append("staged")
+    # slower measured number beats a bench_failed zero.  The default must
+    # match msm._impl()'s default: the fused verify path only engages
+    # under sortrows, so forcing rowperm here would silently bench the
+    # round-4 pipeline.
+    impls = [os.environ.get("HALO_TPU_MSM_IMPL", "sortrows")]
+    for fb in ("rowperm", "staged"):
+        if fb not in impls:
+            impls.append(fb)
     for impl in impls:
         os.environ["HALO_TPU_MSM_IMPL"] = impl
         phase_ok = False
@@ -630,7 +635,7 @@ def main():
         if phase_ok:
             break
         log(f"MSM impl '{impl}' failed its guard" + (
-            "; falling back to staged" if impl != "staged" else ""))
+            "" if impl == impls[-1] else "; falling down the impl ladder"))
         wait_service(500)  # keep >= the headline guard in reserve
 
     # 2. The headline chain (cache-backed; tools/warm.py builds + persists).
